@@ -1,0 +1,140 @@
+"""Structure-of-arrays attribute storage.
+
+TPU-native redesign of the reference's AttrDataBlock
+(ref: lib/rust/mmscenegraph/src/attr/datablock.rs:29-90): attributes are
+either *static* (one value) or *dense-animated* (one value per frame of a
+contiguous frame range).  Instead of enum AttrIds we pack every attribute
+reference into a single int32 code so index arrays stay flat and
+gatherable inside jit:
+
+    code == ATTR_NONE (-1)  -> no attribute (evaluates to 0.0)
+    code % 2 == 0           -> static attribute   index = code // 2
+    code % 2 == 1           -> animated channel   index = code // 2
+
+Values live in two dense arrays: static (S,) and anim (A, F) where F is
+the baked frame count.  Solvers scatter parameter vectors into a copy of
+these arrays; everything stays functional for autodiff.
+"""
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+ATTR_NONE = -1
+
+
+def static_code(index):
+    return index * 2
+
+
+def anim_code(index):
+    return index * 2 + 1
+
+
+def is_static_code(code):
+    return (code >= 0) & (code % 2 == 0)
+
+
+def is_anim_code(code):
+    return (code >= 0) & (code % 2 == 1)
+
+
+def code_index(code):
+    return code // 2
+
+
+class AttrBlock(NamedTuple):
+    """Pytree of attribute value arrays.
+
+    static_values: (S,) float array.
+    anim_values:   (A, F) float array — dense per-frame channels over the
+                   baked frame range (ref: attr/datablock.rs AnimDense).
+    """
+
+    static_values: jax.Array
+    anim_values: jax.Array
+
+    @property
+    def num_static(self):
+        return self.static_values.shape[0]
+
+    @property
+    def num_anim(self):
+        return self.anim_values.shape[0]
+
+    @property
+    def num_frames(self):
+        return self.anim_values.shape[1]
+
+
+def gather_attr_values(attrs: AttrBlock, codes, frame_indices):
+    """Evaluate attribute codes at frames.
+
+    codes: int array (...,) of packed attr codes.
+    frame_indices: int array (F,) indexing the baked frame axis.
+    Returns (..., F) float values; ATTR_NONE yields 0.0.
+
+    Equivalent to AttrDataBlock::get_attr_value looped over codes/frames
+    (ref: lib/rust/mmscenegraph/src/attr/datablock.rs), but as two gathers
+    plus a select so it is one fused XLA op on TPU.
+    """
+    codes = jnp.asarray(codes)
+    idx = jnp.maximum(codes, 0) // 2
+    s = attrs.static_values[jnp.clip(idx, 0, attrs.num_static - 1)]
+    a = attrs.anim_values[jnp.clip(idx, 0, attrs.num_anim - 1)][
+        ..., frame_indices
+    ]
+    out = jnp.where((codes % 2 == 1)[..., None], a, s[..., None])
+    return jnp.where((codes < 0)[..., None], jnp.zeros_like(out), out)
+
+
+def gather_attr_values_static(attrs: AttrBlock, codes, frame_index=0):
+    """Evaluate attribute codes at a single frame; returns (...,) values."""
+    return gather_attr_values(
+        attrs, codes, jnp.asarray([frame_index], dtype=jnp.int32)
+    )[..., 0]
+
+
+class AttrBlockBuilder:
+    """Host-side builder accumulating attributes before baking to arrays."""
+
+    def __init__(self, num_frames, dtype=np.float64):
+        self._static = []
+        self._anim = []
+        self.num_frames = int(num_frames)
+        self.dtype = dtype
+
+    def add_static(self, value):
+        self._static.append(float(value))
+        return static_code(len(self._static) - 1)
+
+    def add_anim(self, values):
+        values = np.asarray(values, dtype=self.dtype)
+        if values.shape != (self.num_frames,):
+            raise ValueError(
+                "animated attribute needs %d frame values, got shape %r"
+                % (self.num_frames, values.shape)
+            )
+        self._anim.append(values)
+        return anim_code(len(self._anim) - 1)
+
+    def add(self, value):
+        """Static if scalar, animated if per-frame array."""
+        if np.ndim(value) == 0:
+            return self.add_static(value)
+        return self.add_anim(value)
+
+    def bake(self, dtype=None):
+        dtype = dtype or self.dtype
+        static = np.asarray(self._static, dtype=dtype)
+        if static.size == 0:
+            static = np.zeros((1,), dtype=dtype)
+        if self._anim:
+            anim = np.stack(self._anim).astype(dtype)
+        else:
+            anim = np.zeros((1, self.num_frames), dtype=dtype)
+        return AttrBlock(
+            static_values=jnp.asarray(static), anim_values=jnp.asarray(anim)
+        )

@@ -1,0 +1,25 @@
+from mayamatchmovesolver_tpu.solver.loss import RobustLossType  # noqa: F401
+from mayamatchmovesolver_tpu.solver.lm import (  # noqa: F401
+    LMConfig,
+    LMResult,
+    levenberg_marquardt,
+)
+from mayamatchmovesolver_tpu.solver.problem import (  # noqa: F401
+    SolveProblem,
+    initial_parameters,
+    insert_parameters,
+    measure_residuals,
+    residual_fn,
+)
+from mayamatchmovesolver_tpu.solver.results import (  # noqa: F401
+    SolverResult,
+    parse_key_value_strings,
+)
+from mayamatchmovesolver_tpu.solver.solve import (  # noqa: F401
+    FrameSolveMode,
+    SceneGraphMode,
+    SolverOptions,
+    build_problem,
+    solve,
+    solve_per_frame,
+)

@@ -1,0 +1,177 @@
+"""Dense linear algebra primitives that compile for every dtype on TPU.
+
+XLA's TPU backend only implements library decompositions (LU, QR,
+Cholesky) for f32; the solver's parity path runs f64 (which the TPU
+emulates for arithmetic).  These routines build the factorizations from
+elementwise ops and matmuls only, so one code path serves f32 TPU
+production and f64 parity testing.  They are also the building blocks
+the Schur-complement path reuses for the reduced camera system.
+"""
+
+import jax
+import jax.numpy as jnp
+
+
+def cholesky(a):
+    """Lower-triangular Cholesky factor of an SPD matrix.
+
+    Left-looking, one fori_loop step per column; each step is a rank-1
+    panel update that XLA vectorizes.  O(n) sequential steps of O(n)
+    vector work — fine for the solver's normal equations (n = number of
+    parameters per block, typically <= a few hundred).
+    """
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    idx = jnp.arange(n)
+
+    def body(j, l):
+        # Column j: d = a[j,j] - sum_k<j l[j,k]^2
+        row_j = jnp.where(idx < j, l[..., j, :], 0.0)
+        d = l[..., j, j] - jnp.sum(row_j * row_j, axis=-1)
+        d = jnp.sqrt(jnp.maximum(d, 1e-300))
+        # Below-diagonal entries of column j.
+        lower = jnp.where(idx < j, l, 0.0 * l)
+        s = jnp.einsum("...ik,...k->...i", lower, row_j)
+        col = (l[..., :, j] - s) / d[..., None]
+        col = jnp.where(idx == j, d[..., None], col)
+        col = jnp.where(idx < j, 0.0, col)
+        return l.at[..., :, j].set(col)
+
+    return jax.lax.fori_loop(0, n, body, a)
+
+
+def solve_triangular_lower(l, b):
+    """Solve L x = b with L lower triangular; b is (..., n) or (..., n, k)."""
+    n = l.shape[-1]
+    vector = b.ndim == l.ndim - 1
+    if vector:
+        b = b[..., None]
+    x = jnp.zeros_like(b)
+    idx = jnp.arange(n)
+
+    def body(i, x):
+        li = l[..., i, :]  # (..., n)
+        partial = jnp.einsum(
+            "...k,...kj->...j", jnp.where(idx < i, li, 0.0), x
+        )
+        xi = (b[..., i, :] - partial) / l[..., i, i][..., None]
+        return x.at[..., i, :].set(xi)
+
+    x = jax.lax.fori_loop(0, n, body, x)
+    return x[..., 0] if vector else x
+
+
+def solve_triangular_upper(u, b):
+    """Solve U x = b with U upper triangular."""
+    n = u.shape[-1]
+    vector = b.ndim == u.ndim - 1
+    if vector:
+        b = b[..., None]
+    x = jnp.zeros_like(b)
+    idx = jnp.arange(n)
+
+    def body(k, x):
+        i = n - 1 - k
+        ui = u[..., i, :]
+        partial = jnp.einsum(
+            "...k,...kj->...j", jnp.where(idx > i, ui, 0.0), x
+        )
+        xi = (b[..., i, :] - partial) / u[..., i, i][..., None]
+        return x.at[..., i, :].set(xi)
+
+    x = jax.lax.fori_loop(0, n, body, x)
+    return x[..., 0] if vector else x
+
+
+def cholesky_solve(a, b):
+    """Solve SPD system a x = b via our Cholesky (any dtype)."""
+    l = cholesky(a)
+    y = solve_triangular_lower(l, b)
+    return solve_triangular_upper(jnp.swapaxes(l, -1, -2), y)
+
+
+def solve_spd(a, b):
+    """Entry point the LM core uses; alias kept for future Pallas swap."""
+    return cholesky_solve(a, b)
+
+
+def jacobi_eigh(a, sweeps=16):
+    """Symmetric eigendecomposition by cyclic Jacobi rotations.
+
+    Returns (eigenvalues ascending, eigenvectors as columns).  Built from
+    elementwise ops only so it compiles for f64 on TPU (XLA's Eigh/SVD
+    do not).  Intended for the small matrices of SfM linear systems
+    (3x3 .. 12x12); cost is sweeps * n(n-1)/2 rotations.
+    """
+    a = jnp.asarray(a)
+    n = a.shape[-1]
+    v = jnp.broadcast_to(jnp.eye(n, dtype=a.dtype), a.shape)
+
+    def rotate(state, pq):
+        a, v = state
+        p, q = pq
+        app = a[..., p, p]
+        aqq = a[..., q, q]
+        apq = a[..., p, q]
+        # Stable rotation angle: theta = 0.5*atan2(2apq, aqq-app).
+        theta = 0.5 * jnp.arctan2(2.0 * apq, aqq - app)
+        c = jnp.cos(theta)[..., None]
+        s = jnp.sin(theta)[..., None]
+
+        # Apply G^T A G and V G with G the (p,q) Givens rotation.
+        ap = a[..., :, p]
+        aq = a[..., :, q]
+        a = a.at[..., :, p].set(c * ap - s * aq)
+        a = a.at[..., :, q].set(s * ap + c * aq)
+        ap = a[..., p, :]
+        aq = a[..., q, :]
+        a = a.at[..., p, :].set(c * ap - s * aq)
+        a = a.at[..., q, :].set(s * ap + c * aq)
+        vp = v[..., :, p]
+        vq = v[..., :, q]
+        v = v.at[..., :, p].set(c * vp - s * vq)
+        v = v.at[..., :, q].set(s * vp + c * vq)
+        return (a, v)
+
+    pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
+    for _ in range(sweeps):
+        for pq in pairs:
+            a, v = rotate((a, v), pq)
+
+    eigvals = jnp.diagonal(a, axis1=-2, axis2=-1)
+    order = jnp.argsort(eigvals, axis=-1)
+    eigvals = jnp.take_along_axis(eigvals, order, axis=-1)
+    v = jnp.take_along_axis(v, order[..., None, :], axis=-1)
+    return eigvals, v
+
+
+def smallest_eigenvector(a, sweeps=16):
+    """Eigenvector of the smallest eigenvalue of symmetric a — the
+    workhorse for DLT null spaces (essential matrix, homography,
+    triangulation, resection)."""
+    _, v = jacobi_eigh(a, sweeps=sweeps)
+    return v[..., :, 0]
+
+
+def svd3_rotation(m, sweeps=16):
+    """Nearest rotation matrix to a 3x3 m (polar decomposition via our
+    Jacobi eigh), with det forced to +1."""
+    mtm = jnp.swapaxes(m, -1, -2) @ m
+    w, v = jacobi_eigh(mtm, sweeps=sweeps)
+    inv_sqrt = v @ (
+        (1.0 / jnp.sqrt(jnp.maximum(w, 1e-30)))[..., None, :]
+        * jnp.swapaxes(v, -1, -2)
+    )
+    r = m @ inv_sqrt
+    sign = jnp.sign(det3(r))[..., None]
+    return r.at[..., :, 2].set(r[..., :, 2] * sign)
+
+
+def det3(m):
+    """Explicit 3x3 determinant (jnp.linalg.det lowers to LU, which
+    XLA:TPU lacks for f64)."""
+    return (
+        m[..., 0, 0] * (m[..., 1, 1] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 1])
+        - m[..., 0, 1] * (m[..., 1, 0] * m[..., 2, 2] - m[..., 1, 2] * m[..., 2, 0])
+        + m[..., 0, 2] * (m[..., 1, 0] * m[..., 2, 1] - m[..., 1, 1] * m[..., 2, 0])
+    )
