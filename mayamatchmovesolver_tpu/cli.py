@@ -179,7 +179,7 @@ def _cmd_lensdistort(args):
     from mayamatchmovesolver_tpu import models
     from mayamatchmovesolver_tpu.io import exr
     from mayamatchmovesolver_tpu.models import scenelens
-    from mayamatchmovesolver_tpu.ops import stmap
+    from mayamatchmovesolver_tpu.ops import stmap as stmap_mod
 
     fb = models.FilmBack.create(
         width_cm=args.film_back_width / 10.0,
@@ -202,7 +202,7 @@ def _cmd_lensdistort(args):
         raise SystemExit("unsupported model for CLI: %r" % args.model)
 
     image = np.asarray(
-        stmap.stmap(model, fb, args.width, args.height,
+        stmap_mod.stmap(model, fb, args.width, args.height,
                     direction=args.direction)
     )
     exr.write_pixels(args.output, image)

@@ -1,0 +1,131 @@
+"""ctypes binding to the native C++ runtime (native/libmmtpu_native.so).
+
+The native library provides the thread-pooled lens-distortion ST-map
+engine and uncompressed EXR writer (the reference's rayon/mmimage role;
+ref: lib/cppbind/mmlens/src/distortion_process.rs,
+lib/rust/mmimage/src/lib.rs).  Auto-builds with make on first use if a
+toolchain is present; everything degrades to the Python/JAX paths when
+the library is unavailable.
+"""
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_NATIVE_DIR = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "native"
+)
+_LIB_PATH = os.path.join(_NATIVE_DIR, "libmmtpu_native.so")
+
+_lib = None
+_load_error = None
+
+
+def _build():
+    subprocess.run(
+        ["make", "-C", _NATIVE_DIR],
+        check=True,
+        capture_output=True,
+        timeout=300,
+    )
+
+
+def load(auto_build=True):
+    """Load (building if needed) the native library; returns it or None."""
+    global _lib, _load_error
+    if _lib is not None:
+        return _lib
+    if _load_error is not None and not auto_build:
+        return None
+    try:
+        if not os.path.exists(_LIB_PATH) and auto_build:
+            _build()
+        lib = ctypes.CDLL(_LIB_PATH)
+    except (OSError, subprocess.SubprocessError) as e:
+        _load_error = e
+        return None
+
+    lib.mmtpu_stmap_classic.argtypes = [
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.POINTER(ctypes.c_double),
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.c_int,
+        ctypes.POINTER(ctypes.c_float),
+    ]
+    lib.mmtpu_stmap_radial_deg4.argtypes = lib.mmtpu_stmap_classic.argtypes
+    lib.mmtpu_exr_write_rgba.argtypes = [
+        ctypes.c_char_p,
+        ctypes.POINTER(ctypes.c_float),
+        ctypes.c_int,
+        ctypes.c_int,
+    ]
+    lib.mmtpu_exr_write_rgba.restype = ctypes.c_int
+    _lib = lib
+    return lib
+
+
+def available():
+    return load() is not None
+
+
+def _as_double_ptr(values):
+    arr = np.ascontiguousarray(values, dtype=np.float64)
+    return arr, arr.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
+
+
+def stmap_classic(lens_params, camera_params, width, height,
+                  direction="distort", n_threads=0):
+    """Native classic-model ST map -> (H, W, 4) float32.
+
+    lens_params: (distortion, squeeze, curv_x, curv_y, quartic).
+    camera_params: (fbw_cm, fbh_cm, lco_x_cm, lco_y_cm, pixel_aspect).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _load_error)
+    out = np.empty((height, width, 4), np.float32)
+    lens_arr, lens_ptr = _as_double_ptr(lens_params)
+    cam_arr, cam_ptr = _as_double_ptr(camera_params)
+    lib.mmtpu_stmap_classic(
+        lens_ptr, cam_ptr, width, height,
+        1 if direction == "distort" else 0, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def stmap_radial_deg4(lens_params, camera_params, width, height,
+                      direction="distort", n_threads=0):
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _load_error)
+    out = np.empty((height, width, 4), np.float32)
+    lens_arr, lens_ptr = _as_double_ptr(lens_params)
+    cam_arr, cam_ptr = _as_double_ptr(camera_params)
+    lib.mmtpu_stmap_radial_deg4(
+        lens_ptr, cam_ptr, width, height,
+        1 if direction == "distort" else 0, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def exr_write_rgba(path, image):
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _load_error)
+    image = np.ascontiguousarray(image, dtype=np.float32)
+    if image.ndim != 3 or image.shape[2] != 4:
+        raise ValueError("image must be (H, W, 4)")
+    rc = lib.mmtpu_exr_write_rgba(
+        path.encode(),
+        image.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        image.shape[1],
+        image.shape[0],
+    )
+    if rc != 0:
+        raise OSError("native EXR write failed: %s" % path)

@@ -1,5 +1,1 @@
-from mayamatchmovesolver_tpu.ops.stmap import (  # noqa: F401
-    stmap,
-    stmap_classic_pallas,
-    stmap_xla,
-)
+from mayamatchmovesolver_tpu.ops import stmap  # noqa: F401  (module)

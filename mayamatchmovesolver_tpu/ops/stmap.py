@@ -83,8 +83,13 @@ def _stmap_classic_kernel(param_ref, out_s_ref, out_t_ref, *, width,
     row0 = i * TILE_H
     col0 = j * TILE_W
 
-    rows = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 0)
-    cols = jax.lax.broadcasted_iota(jnp.float32, (TILE_H, TILE_W), 1)
+    # iota must be integer-typed on TPU; cast afterwards.
+    rows = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 0
+    ).astype(jnp.float32)
+    cols = jax.lax.broadcasted_iota(
+        jnp.int32, (TILE_H, TILE_W), 1
+    ).astype(jnp.float32)
     y_unit = (rows + row0.astype(jnp.float32) + 0.5) / height
     x_unit = (cols + col0.astype(jnp.float32) + 0.5) / width
 

@@ -156,13 +156,20 @@ def decompose_essential(e, pts1, pts2, inlier_mask=None):
     points in front of both cameras (cheirality), like openMVG's
     RelativePoseFromEssential."""
     w_m, v = linalg.jacobi_eigh(jnp.swapaxes(e, -1, -2) @ e)
-    s = jnp.sqrt(jnp.maximum(w_m, 0.0))
-    u = e @ v / jnp.maximum(s[..., None, :], 1e-12)
     # Reorder to descending singular values (Jacobi gives ascending).
-    u = u[..., ::-1]
     v = v[..., ::-1]
-    # Make U, V proper rotations.
-    u = u.at[..., :, 2].set(u[..., :, 2] * jnp.sign(linalg.det3(u))[..., None])
+    u = e @ v
+    # The third column of U corresponds to E's (near-)zero singular
+    # value, so dividing by it amplifies noise; rebuild U with
+    # Gram-Schmidt on the two well-conditioned columns plus a cross
+    # product — guaranteed proper rotation.
+    u0 = u[..., :, 0]
+    u0 = u0 / jnp.linalg.norm(u0, axis=-1, keepdims=True)
+    u1 = u[..., :, 1]
+    u1 = u1 - jnp.sum(u1 * u0, axis=-1, keepdims=True) * u0
+    u1 = u1 / jnp.linalg.norm(u1, axis=-1, keepdims=True)
+    u2 = jnp.cross(u0, u1)
+    u = jnp.stack([u0, u1, u2], axis=-1)
     v = v.at[..., :, 2].set(v[..., :, 2] * jnp.sign(linalg.det3(v))[..., None])
 
     w = jnp.asarray(

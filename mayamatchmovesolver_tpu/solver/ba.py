@@ -26,6 +26,7 @@ inverses), and the reduced camera system
 is solved with our any-dtype Cholesky.  An LM damping loop wraps it.
 """
 
+import dataclasses
 from typing import NamedTuple, Optional
 
 import jax
@@ -41,8 +42,11 @@ CAM_PARAMS_POSE = 6  # tx ty tz rx ry rz
 CAM_PARAMS_POSE_FOCAL = 7  # + focal length
 
 
-class BAProblem(NamedTuple):
-    """Arrays fully describing the structured BA problem."""
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass(frozen=True)
+class BAProblem:
+    """Arrays fully describing the structured BA problem (a pytree;
+    configuration fields are static so they select compiled variants)."""
 
     marker_uv: jax.Array  # (M, F, 2) observed, film-fit-scaled space
     weight: jax.Array  # (M, F) sqrt-applied marker weights * mask
@@ -51,10 +55,13 @@ class BAProblem(NamedTuple):
     bnd_params: jax.Array  # (B, 3) initial bundle positions
     intrinsics: jax.Array  # (F, 8) [focal, fbw_mm, fbh_mm, offx_mm,
     #                       offy_mm, far_cm, cam_scale, render_aspect]
-    film_fit: int  # static
-    rotate_order: int  # static
-    image_width: float  # static
-    solve_focal: bool  # static
+    film_fit: int = dataclasses.field(metadata={"static": True})
+    rotate_order: int = dataclasses.field(metadata={"static": True})
+    image_width: float = dataclasses.field(metadata={"static": True})
+    solve_focal: bool = dataclasses.field(metadata={"static": True})
+
+    def _replace(self, **kwargs):
+        return dataclasses.replace(self, **kwargs)
 
 
 class BAResult(NamedTuple):

@@ -8,7 +8,7 @@ import numpy as np
 import pytest
 
 from mayamatchmovesolver_tpu import models
-from mayamatchmovesolver_tpu.ops import stmap as stmap_mod
+import mayamatchmovesolver_tpu.ops.stmap as stmap_mod
 
 
 def _is_tpu():

@@ -58,7 +58,7 @@ def _synthesize_markers(sg, markers, lens):
         lens, scene, attrs, jnp.asarray([0]), ev.point_xy,
         scene.mkr_cam_index,
     )
-    static = np.asarray(attrs.static_values)
+    static = np.array(attrs.static_values)
     for i, mkr in enumerate(markers):
         static[mkr.attr("tx").code // 2] = float(pts[i, 0, 0])
         static[mkr.attr("ty").code // 2] = float(pts[i, 0, 1])
@@ -82,7 +82,7 @@ def test_solve_bundles_through_lens():
     scene, attrs = _synthesize_markers(sg, markers, lens)
 
     # Perturb bundle x/y, then solve them back through the lens.
-    static = np.asarray(attrs.static_values)
+    static = np.array(attrs.static_values)
     solve_attrs = []
     for i, b in enumerate(bundles):
         static[b.attr("tx").code // 2] += offsets[i][0]
@@ -104,7 +104,7 @@ def test_solve_lens_distortion_parameter():
     scene, attrs = _synthesize_markers(sg, markers, lens)
 
     # Reset distortion to zero and solve it back.
-    static = np.asarray(attrs.static_values)
+    static = np.array(attrs.static_values)
     k_attr = lens_attrs["distortion"]
     static[k_attr.code // 2] = 0.0
     attrs = attrs._replace(static_values=jnp.asarray(static))
