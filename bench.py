@@ -72,7 +72,7 @@ def build_per_frame_pose_problem(num_frames=50, num_bundles=20):
     # Synthesize marker tracks from ground truth.
     ev = evaluate(scene, attrs, jnp.arange(num_frames))
     point_xy = np.asarray(ev.point_xy)  # (M, F, 2)
-    anim = np.asarray(attrs.anim_values)
+    anim = np.array(attrs.anim_values)
     for i, mkr in enumerate(markers):
         anim[mkr.attr("tx").code // 2] = point_xy[i, :, 0]
         anim[mkr.attr("ty").code // 2] = point_xy[i, :, 1]

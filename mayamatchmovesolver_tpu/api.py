@@ -24,7 +24,7 @@ Typical use:
 """
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 from mayamatchmovesolver_tpu.scene.scenegraph import (  # noqa: F401
     Attribute,

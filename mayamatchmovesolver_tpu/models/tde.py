@@ -23,7 +23,6 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from mayamatchmovesolver_tpu.models import base
 from mayamatchmovesolver_tpu.models.base import (
     FilmBack,
     apply_in_marker_space,

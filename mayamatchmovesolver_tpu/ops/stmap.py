@@ -163,7 +163,9 @@ def stmap_classic_pallas(model: tde.TdeClassic,
         kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),
+            pl.BlockSpec(
+                (1, 9), lambda i, j: (0, 0), memory_space=pltpu.SMEM
+            ),
         ],
         out_specs=(
             pl.BlockSpec(

@@ -29,7 +29,6 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mayamatchmovesolver_tpu.core import transform as tfm_math
@@ -223,15 +222,18 @@ def sharded_solve_ba(
         def body(s):
             cam, bnd, cost, mu, nu, it = s
             _, dx_cam, dx_bnd = gn_step(cam, bnd, mu)
-            ok = jnp.all(jnp.isfinite(dx_cam)) & jnp.all(
-                jnp.isfinite(dx_bnd)
-            )
-            dx_cam = jnp.where(ok, dx_cam, 0.0)
-            dx_bnd = jnp.where(ok, dx_bnd, 0.0)
+            # Acceptance must be decided from *replicated* quantities
+            # only (shard_map tracks varying axes): dx_bnd and the
+            # psum-reduced cost are replicated; a NaN in any shard's
+            # dx_cam poisons cost_new, so it is caught there.
             cam_new = cam + dx_cam
             bnd_new = bnd + dx_bnd
             cost_new = cost_of(cam_new, bnd_new)
-            accept = ok & (cost_new < cost) & jnp.isfinite(cost_new)
+            accept = (
+                (cost_new < cost)
+                & jnp.isfinite(cost_new)
+                & jnp.all(jnp.isfinite(dx_bnd))
+            )
             cam = jnp.where(accept, cam_new, cam)
             bnd = jnp.where(accept, bnd_new, bnd)
             cost = jnp.where(accept, cost_new, cost)

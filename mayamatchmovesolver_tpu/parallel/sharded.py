@@ -20,7 +20,6 @@ specific, so the same code runs on a virtual CPU mesh or a pod slice.
 """
 
 import dataclasses
-import functools
 from typing import NamedTuple
 
 import jax

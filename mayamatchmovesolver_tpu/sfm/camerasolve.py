@@ -35,17 +35,21 @@ class CameraSolveResult(NamedTuple):
 
 
 def markers_to_bearings(marker_xy, focal_length_mm, film_back_width_mm,
-                        film_back_height_mm=None):
+                        render_aspect):
     """Marker space [-0.5, 0.5] -> normalized CV-convention bearings.
 
     From the projection matrix derivation (core/camera.py, horizontal
-    film fit): x_cam/(-z_cam) = marker_x * film_back_w / focal, same for
-    y when the marker was film-fit-scaled.  The SfM math runs in the
-    right-handed OpenCV frame (x right, y DOWN, z forward), so
-    v = -marker_y * fbw / focal.
+    film fit): x_cam/(-z_cam) = marker_x * film_back_w / focal and
+    y_cam/(-z_cam) = marker_y * film_back_w / (render_aspect * focal)
+    (the y projection scale carries the image aspect; the film-fit
+    marker scaling keeps observations in the same space).  The SfM math
+    runs in the right-handed OpenCV frame (x right, y DOWN, z forward),
+    hence the sign flip on v.
     """
     u = marker_xy[..., 0] * film_back_width_mm / focal_length_mm
-    v = -marker_xy[..., 1] * film_back_width_mm / focal_length_mm
+    v = -marker_xy[..., 1] * film_back_width_mm / (
+        render_aspect * focal_length_mm
+    )
     return jnp.stack([u, v], axis=-1)
 
 
@@ -78,21 +82,27 @@ def camera_solve(
     focal_length_mm=35.0,
     film_back_width_mm=36.0,
     film_back_height_mm=24.0,
+    render_aspect=None,
     key=None,
     min_pair_separation=5,
 ) -> CameraSolveResult:
     """Incremental SfM over all frames; returns per-frame poses and
-    triangulated points in an arbitrary (origin-normalized) scale."""
+    triangulated points in an arbitrary (origin-normalized) scale.
+
+    render_aspect defaults to the film-back aspect (square-pixel
+    aspect-matched delivery, the common case)."""
     marker_xy = np.asarray(marker_xy, dtype=np.float64)
     enable = np.asarray(enable_mask) > 0.5
     num_markers, num_frames = enable.shape
     if key is None:
         key = jax.random.PRNGKey(42)
+    if render_aspect is None:
+        render_aspect = film_back_width_mm / film_back_height_mm
 
     bearings = np.asarray(
         markers_to_bearings(
             jnp.asarray(marker_xy), focal_length_mm, film_back_width_mm,
-            film_back_height_mm,
+            render_aspect,
         )
     )  # (M, F, 2)
 
@@ -123,21 +133,26 @@ def camera_solve(
     cam_t[f1] = t1
     solved[f0] = solved[f1] = True
 
-    # Triangulate every marker seen in both anchor frames.
+    # Triangulate every marker seen in both anchor frames (full padded
+    # set; invalid rows are masked out afterwards).
     pts3d = np.zeros((num_markers, 3))
     valid = np.zeros(num_markers, bool)
     tri = np.asarray(
         twoview.triangulate_linear(
             jnp.eye(3), jnp.zeros(3), jnp.asarray(r1), jnp.asarray(t1),
-            jnp.asarray(bearings[shared, f0]),
-            jnp.asarray(bearings[shared, f1]),
+            jnp.asarray(bearings[:, f0]),
+            jnp.asarray(bearings[:, f1]),
         )
     )
-    pts3d[shared] = tri
+    pts3d[shared] = tri[shared]
     valid[shared] = np.asarray(pose.inliers)
 
     # Incremental resection of remaining frames, most-connected first
     # (ref: _solve_relative_poses loop, solvercamerautils.py:574).
+    # All calls use the full padded point set with zero weights for
+    # missing observations, so one compiled program serves every frame.
+    resect = jax.jit(twoview.resection_pose)
+    triangulate = jax.jit(twoview.triangulate_linear)
     order = np.argsort(-connected_frame_scores(enable & valid[:, None]))
     for f in order:
         if solved[f]:
@@ -145,8 +160,10 @@ def camera_solve(
         seen = enable[:, f] & valid
         if seen.sum() < 6:
             continue
-        r, t = twoview.resection_pose(
-            jnp.asarray(pts3d[seen]), jnp.asarray(bearings[seen, f])
+        r, t = resect(
+            jnp.asarray(pts3d),
+            jnp.asarray(bearings[:, f]),
+            weights=jnp.asarray(seen, dtype=np.float64),
         )
         cam_r[f] = np.asarray(r)
         cam_t[f] = np.asarray(t)
@@ -156,14 +173,14 @@ def camera_solve(
         new = enable[:, f] & enable[:, f0] & ~valid
         if new.sum() > 0:
             tri = np.asarray(
-                twoview.triangulate_linear(
+                triangulate(
                     jnp.eye(3), jnp.zeros(3),
                     jnp.asarray(cam_r[f]), jnp.asarray(cam_t[f]),
-                    jnp.asarray(bearings[new, f0]),
-                    jnp.asarray(bearings[new, f]),
+                    jnp.asarray(bearings[:, f0]),
+                    jnp.asarray(bearings[:, f]),
                 )
             )
-            pts3d[new] = tri
+            pts3d[new] = tri[new]
             valid[new] = True
 
     # Convert from the CV frame back to the Maya camera convention.

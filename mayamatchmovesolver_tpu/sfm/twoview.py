@@ -321,10 +321,15 @@ def homography_transfer_error(h, pts1, pts2):
     return jnp.sum((proj - pts2) ** 2, axis=-1)
 
 
-def resection_pose(points3d, points2d):
+def resection_pose(points3d, points2d, weights=None):
     """Camera pose from known 3D points (DLT + nearest-rotation),
     normalized 2D coords.  (ref: camera_from_known_points resection,
-    sfm/camera_from_known_points.cpp.)"""
+    sfm/camera_from_known_points.cpp.)
+
+    weights, if given, mask/weight observations — pass the full padded
+    point set with zero weights for missing data so the shapes (and the
+    compiled program) stay fixed.
+    """
     x, y, z = points3d[..., 0], points3d[..., 1], points3d[..., 2]
     u, v = points2d[..., 0], points2d[..., 1]
     zero = jnp.zeros_like(x)
@@ -340,6 +345,9 @@ def resection_pose(points3d, points2d):
         axis=-1,
     )
     a = jnp.concatenate([row1, row2], axis=-2)  # (..., 2N, 12)
+    if weights is not None:
+        w2 = jnp.concatenate([weights, weights], axis=-1)[..., None]
+        a = a * w2
     ata = jnp.swapaxes(a, -1, -2) @ a
     p_vec = linalg.smallest_eigenvector(ata)
     p = p_vec.reshape(p_vec.shape[:-1] + (3, 4))
@@ -347,7 +355,10 @@ def resection_pose(points3d, points2d):
     # Fix the sign so that points land in front of the camera.
     depths = jnp.einsum("...ij,...nj->...ni", m, points3d)[..., 2] \
         + p[..., 2, 3][..., None]
-    sign = jnp.sign(jnp.sum(jnp.sign(depths), axis=-1))
+    depth_votes = jnp.sign(depths)
+    if weights is not None:
+        depth_votes = depth_votes * (weights > 0)
+    sign = jnp.sign(jnp.sum(depth_votes, axis=-1))
     sign = jnp.where(sign == 0, 1.0, sign)
     p = p * sign[..., None, None]
     m = p[..., :3]

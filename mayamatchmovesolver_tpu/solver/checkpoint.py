@@ -1,0 +1,75 @@
+"""Solver state checkpoint / resume.
+
+The reference persists solver state through the Maya scene (Collection
+node serialization, collection.py:375-415) and undo stacks; the TPU
+framework checkpoints the attribute block + solve configuration to an
+npz so long solves resume across processes (SURVEY.md section 5
+"checkpoint/resume" TPU equivalent).
+"""
+
+import json
+
+import jax.numpy as jnp
+import numpy as np
+
+from mayamatchmovesolver_tpu.scene.attrblock import AttrBlock
+
+FORMAT_VERSION = 1
+
+
+def save_attrs(file_path, attrs: AttrBlock, metadata=None):
+    """Write the attribute block (+ JSON metadata) to an npz."""
+    np.savez_compressed(
+        file_path,
+        format_version=FORMAT_VERSION,
+        static_values=np.asarray(attrs.static_values),
+        anim_values=np.asarray(attrs.anim_values),
+        metadata=json.dumps(metadata or {}),
+    )
+
+
+def load_attrs(file_path):
+    """Returns (AttrBlock, metadata dict)."""
+    with np.load(file_path, allow_pickle=False) as data:
+        version = int(data["format_version"])
+        if version != FORMAT_VERSION:
+            raise ValueError(
+                "unsupported checkpoint version: %d" % version
+            )
+        attrs = AttrBlock(
+            static_values=jnp.asarray(data["static_values"]),
+            anim_values=jnp.asarray(data["anim_values"]),
+        )
+        metadata = json.loads(str(data["metadata"]))
+    return attrs, metadata
+
+
+def save_solve_state(file_path, attrs, params=None, iteration=0,
+                     cost=None, extra=None):
+    """Checkpoint mid-solve state (params vector + progress counters)."""
+    meta = dict(extra or {})
+    meta["iteration"] = int(iteration)
+    if cost is not None:
+        meta["cost"] = float(cost)
+    np.savez_compressed(
+        file_path,
+        format_version=FORMAT_VERSION,
+        static_values=np.asarray(attrs.static_values),
+        anim_values=np.asarray(attrs.anim_values),
+        params=(
+            np.asarray(params) if params is not None else np.zeros(0)
+        ),
+        metadata=json.dumps(meta),
+    )
+
+
+def load_solve_state(file_path):
+    """Returns (AttrBlock, params or None, metadata)."""
+    with np.load(file_path, allow_pickle=False) as data:
+        attrs = AttrBlock(
+            static_values=jnp.asarray(data["static_values"]),
+            anim_values=jnp.asarray(data["anim_values"]),
+        )
+        params = np.asarray(data["params"])
+        metadata = json.loads(str(data["metadata"]))
+    return attrs, (params if params.size else None), metadata

@@ -12,14 +12,14 @@ import dataclasses
 import enum
 import functools
 import time
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from mayamatchmovesolver_tpu.scene.attrblock import AttrBlock
-from mayamatchmovesolver_tpu.scene.scenegraph import Attribute, SceneGraph
+from mayamatchmovesolver_tpu.scene.scenegraph import Attribute
 from mayamatchmovesolver_tpu.solver import lm as lm_mod
 from mayamatchmovesolver_tpu.solver import problem as problem_mod
 from mayamatchmovesolver_tpu.solver import results as results_mod
@@ -143,6 +143,44 @@ def build_problem(
     )
 
 
+def build_stiffness(attrs_block, solve_attrs, frame_indices,
+                    weight=1.0, variance=1.0, mode="stiffness"):
+    """Build the stiffness/smoothness spec consumed by build_problem.
+
+    Stiffness pulls each animated parameter toward its *previous
+    frame's* value; smoothness toward the linear prediction from the
+    two previous frames (ref: the attrStiffness/attrSmoothness solver
+    flags and their target wiring, adjust_measureErrors.cpp:311-387,
+    compile.py:486-589).  Targets are computed from the current attr
+    values at build time.
+    """
+    import numpy as np
+
+    anim = np.asarray(attrs_block.anim_values)
+    codes, frames_out, weights, variances, targets = [], [], [], [], []
+    frame_indices = list(frame_indices)
+    for attr in solve_attrs:
+        if attr.code % 2 != 1:
+            continue
+        channel = attr.code // 2
+        for f in frame_indices:
+            if mode == "stiffness":
+                if f - 1 < 0:
+                    continue
+                target = anim[channel, f - 1]
+            else:  # smoothness: linear prediction
+                if f - 2 < 0:
+                    continue
+                target = 2.0 * anim[channel, f - 1] - anim[channel, f - 2]
+            codes.append(attr.code)
+            frames_out.append(int(f))
+            weights.append(float(weight))
+            variances.append(float(variance))
+            targets.append(float(target))
+    return dict(codes=codes, frames=frames_out, weight=weights,
+                variance=variances, target=targets)
+
+
 def count_errors_and_parameters(problem: problem_mod.SolveProblem):
     """Problem sizing, for validation
     (ref: countUpNumberOfErrors / countUpNumberOfUnknownParameters,
@@ -262,6 +300,15 @@ def solve(
     result.per_frame_error = results_mod.FrameErrorList(
         frames=frames, errors=per_frame
     )
+    # Per-marker deviation curves (the reference bakes these onto the
+    # marker nodes for the "Show Deviation Curves" tool).
+    for mi in range(dist.shape[0]):
+        fl = results_mod.FrameErrorList()
+        for fi, frame in enumerate(frames):
+            if mask[mi, fi]:
+                fl.frames.append(frame)
+                fl.errors.append(float(dist[mi, fi]))
+        result.per_marker_error["marker_%d" % mi] = fl
     return attrs_out, result
 
 

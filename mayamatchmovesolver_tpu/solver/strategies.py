@@ -10,7 +10,7 @@ long-sequence solves tractable (ref: docs/source/solver_design.rst:
 """
 
 import dataclasses
-from typing import List, Optional, Sequence
+from typing import Optional, Sequence
 
 import numpy as np
 
@@ -85,6 +85,35 @@ class SolverBasic(SolverBase):
         return attrs, [result]
 
 
+class RootFrameStrategy:
+    """Root-frame iteration strategies
+    (ref: constant.py:355-366 SOLVER_STD_STRATEGY_* — GLOBAL,
+    FWD_PAIR, FWD_PAIR_AND_GLOBAL, FWD_INCREMENT — orchestrated by
+    compile_multi_frame, solverstandard.py:721-745)."""
+
+    GLOBAL = "global"
+    FWD_PAIR = "fwd_pair"
+    FWD_PAIR_AND_GLOBAL = "fwd_pair_and_global"
+    FWD_INCREMENT = "fwd_increment"
+
+
+def root_frame_schedule(root_frames, strategy):
+    """Expand root frames into a list of frame-batches to solve in
+    order, per the chosen strategy."""
+    roots = sorted(root_frames)
+    if strategy == RootFrameStrategy.GLOBAL:
+        return [list(roots)]
+    if strategy == RootFrameStrategy.FWD_PAIR:
+        return [[a, b] for a, b in zip(roots, roots[1:])] or [roots]
+    if strategy == RootFrameStrategy.FWD_PAIR_AND_GLOBAL:
+        out = [[a, b] for a, b in zip(roots, roots[1:])] or [roots]
+        out.append(list(roots))
+        return out
+    if strategy == RootFrameStrategy.FWD_INCREMENT:
+        return [roots[: i + 2] for i in range(len(roots) - 1)] or [roots]
+    raise ValueError("unknown root frame strategy: %r" % strategy)
+
+
 class SolverStandard(SolverBase):
     """Root-frames pass (static + anim at roots) then per-frame anim
     pass, then optional global pass
@@ -99,6 +128,7 @@ class SolverStandard(SolverBase):
         use_single_frame: bool = False,
         global_solve: bool = False,
         root_frame_span: int = 10,
+        root_frame_strategy: str = RootFrameStrategy.GLOBAL,
     ):
         self.frame_indices = list(frame_indices)
         self.root_frame_indices = (
@@ -108,6 +138,7 @@ class SolverStandard(SolverBase):
         self.use_single_frame = use_single_frame
         self.global_solve = global_solve
         self.root_frame_span = root_frame_span
+        self.root_frame_strategy = root_frame_strategy
 
     def _auto_root_frames(self, scene, attrs):
         from mayamatchmovesolver_tpu.scene import evaluate
@@ -141,9 +172,13 @@ class SolverStandard(SolverBase):
         if not roots:
             roots = [self.frame_indices[0], self.frame_indices[-1]]
 
-        # Pass 1: root frames, all attributes (static couple all roots).
-        attrs, result = solve(scene, attrs, roots, solve_attrs, options)
-        results.append(result)
+        # Pass 1: root frames, all attributes (static couple all
+        # roots), batched per the root-frame strategy.
+        for batch in root_frame_schedule(roots,
+                                         self.root_frame_strategy):
+            attrs, result = solve(scene, attrs, batch, solve_attrs,
+                                  options)
+            results.append(result)
 
         # Pass 2: per-frame animated sweep over the full range.
         if anim_attrs:

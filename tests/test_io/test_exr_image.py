@@ -1,0 +1,58 @@
+"""EXR + image utility tests (host-side)."""
+
+import os
+
+import numpy as np
+
+from mayamatchmovesolver_tpu.io import exr, image
+
+
+def test_exr_round_trip_all_compressions(tmp_path):
+    img = np.random.RandomState(0).rand(33, 47, 4).astype(np.float32)
+    for comp in (exr.COMPRESSION_NONE, exr.COMPRESSION_ZIPS,
+                 exr.COMPRESSION_ZIP):
+        path = os.path.join(tmp_path, "t%d.exr" % comp)
+        exr.write_pixels(path, img, compression=comp)
+        back, header = exr.read_pixels(path)
+        np.testing.assert_array_equal(back, img)
+        assert header["compression"] == comp
+
+
+def test_exr_half_precision(tmp_path):
+    img = np.random.RandomState(1).rand(8, 8, 3).astype(np.float32)
+    path = os.path.join(tmp_path, "h.exr")
+    exr.write_pixels(path, img, half_precision=True)
+    back, _ = exr.read_pixels(path)
+    np.testing.assert_allclose(back[..., :3], img, atol=1e-3)
+    np.testing.assert_allclose(back[..., 3], 1.0)  # alpha fill
+
+
+def test_exr_metadata_round_trip(tmp_path):
+    img = np.zeros((4, 4, 4), np.float32)
+    path = os.path.join(tmp_path, "m.exr")
+    exr.write_pixels(
+        path, img,
+        extra_attributes={"owner": ("string", b"mmtpu")},
+    )
+    header = exr.read_header(path)
+    assert header["_attrs"]["owner"] == ("string", b"mmtpu")
+
+
+def test_image_size_and_convert(tmp_path):
+    img = np.random.RandomState(2).rand(20, 30, 4).astype(np.float32)
+    src = os.path.join(tmp_path, "a.exr")
+    dst = os.path.join(tmp_path, "b.exr")
+    exr.write_pixels(src, img)
+    assert image.image_size(src) == (30, 20)
+    w, h = image.convert_image(src, dst, scale=0.5)
+    assert (w, h) == (15, 10)
+    back, _ = image.read_image(dst)
+    assert back.shape == (10, 15, 4)
+    # Down-then-check average brightness is preserved.
+    np.testing.assert_allclose(back.mean(), img.mean(), atol=0.02)
+
+
+def test_resize_identity():
+    img = np.random.RandomState(3).rand(7, 9, 4).astype(np.float32)
+    out = image.resize_image(img, 9, 7)
+    np.testing.assert_allclose(out, img, atol=1e-6)
