@@ -75,13 +75,19 @@ def _classic_undistort_tile(params, x, y):
     return qx, qy
 
 
-def _stmap_classic_kernel(param_ref, out_s_ref, out_t_ref, *, width,
-                          height, distort, inverse_iterations):
-    """One (TILE_H, TILE_W) block of the ST map."""
+def _stmap_classic_kernel(out_s_ref, out_t_ref, *, width, height,
+                          distort, inverse_iterations, lens_params,
+                          film_back):
+    """One (TILE_H, TILE_W) block of the ST map.
+
+    Lens/camera parameters are compile-time constants (an ST-map export
+    is one-shot per parameter set, so recompiles are free and the whole
+    polynomial constant-folds into the kernel).
+    """
     i = pl.program_id(0)
     j = pl.program_id(1)
-    row0 = i * TILE_H
-    col0 = j * TILE_W
+    row0 = (i * TILE_H).astype(jnp.float32)
+    col0 = (j * TILE_W).astype(jnp.float32)
 
     # iota must be integer-typed on TPU; cast afterwards.
     rows = jax.lax.broadcasted_iota(
@@ -90,19 +96,16 @@ def _stmap_classic_kernel(param_ref, out_s_ref, out_t_ref, *, width,
     cols = jax.lax.broadcasted_iota(
         jnp.int32, (TILE_H, TILE_W), 1
     ).astype(jnp.float32)
-    y_unit = (rows + row0.astype(jnp.float32) + 0.5) / height
-    x_unit = (cols + col0.astype(jnp.float32) + 0.5) / width
+    y_unit = (rows + row0 + 0.5) / height
+    x_unit = (cols + col0 + 0.5) / width
 
     # unit -> diagonally normalized (film back + lens center offset).
-    fbw = param_ref[0, 5]
-    fbh = param_ref[0, 6]
-    lcox = param_ref[0, 7]
-    lcoy = param_ref[0, 8]
-    radius = jnp.sqrt(fbw * fbw + fbh * fbh) * 0.5
+    fbw, fbh, lcox, lcoy = film_back
+    radius = (fbw * fbw + fbh * fbh) ** 0.5 * 0.5
     x_dn = ((x_unit - 0.5) * fbw - lcox) / radius
     y_dn = ((y_unit - 0.5) * fbh - lcoy) / radius
 
-    params = tuple(param_ref[0, k] for k in range(5))
+    params = lens_params
 
     if distort:
         # Fixed-point inverse of the undistort polynomial.
@@ -137,36 +140,31 @@ def stmap_classic_pallas(model: tde.TdeClassic,
     height_pad = -(-height // TILE_H) * TILE_H
     width_pad = -(-width // TILE_W) * TILE_W
 
-    params = jnp.stack(
-        [
-            model.distortion,
-            model.anamorphic_squeeze,
-            model.curvature_x,
-            model.curvature_y,
-            model.quartic_distortion,
-            film_back.film_back_width_cm,
-            film_back.film_back_height_cm,
-            film_back.lens_center_offset_x_cm,
-            film_back.lens_center_offset_y_cm,
-        ]
-    ).astype(jnp.float32)[None, :]
-
     kernel = functools.partial(
         _stmap_classic_kernel,
         width=float(width),
         height=float(height),
         distort=(direction == "distort"),
         inverse_iterations=inverse_iterations,
+        lens_params=(
+            float(model.distortion),
+            float(model.anamorphic_squeeze),
+            float(model.curvature_x),
+            float(model.curvature_y),
+            float(model.quartic_distortion),
+        ),
+        film_back=(
+            float(film_back.film_back_width_cm),
+            float(film_back.film_back_height_cm),
+            float(film_back.lens_center_offset_x_cm),
+            float(film_back.lens_center_offset_y_cm),
+        ),
     )
     grid = (height_pad // TILE_H, width_pad // TILE_W)
     s, t = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[
-            pl.BlockSpec(
-                (1, 9), lambda i, j: (0, 0), memory_space=pltpu.SMEM
-            ),
-        ],
+        in_specs=[],
         out_specs=(
             pl.BlockSpec(
                 (TILE_H, TILE_W), lambda i, j: (i, j),
@@ -181,7 +179,7 @@ def stmap_classic_pallas(model: tde.TdeClassic,
             jax.ShapeDtypeStruct((height_pad, width_pad), jnp.float32),
             jax.ShapeDtypeStruct((height_pad, width_pad), jnp.float32),
         ),
-    )(params)
+    )()
     s = s[:height, :width]
     t = t[:height, :width]
     return jnp.stack(

@@ -36,9 +36,9 @@ from mayamatchmovesolver_tpu.solver import ba as ba_mod
 from mayamatchmovesolver_tpu.solver import linalg
 
 try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
 
 
 class ShardedBAResult(NamedTuple):
@@ -171,14 +171,26 @@ def sharded_solve_ba(
                     "fab,fb->fa", b_damped, x
                 ) - jnp.einsum("mfab,ma->fb", w_mf, y_pre)
 
-            # Block-Jacobi preconditioner: per-frame (P_c, P_c) solve.
+            # Preconditioner: the *exact* per-frame Schur diagonal
+            # block S_ff = B_f - sum_m W_mf^T A_m^-1 W_mf (all local —
+            # no communication).  Plain B_f block-Jacobi is far too
+            # weak for this pixel^2-scaled system and lets CG diverge.
+            s_diag = b_damped - jnp.einsum(
+                "mfab,mac,mfcd->fbd", w_mf, a_inv_m, w_mf
+            )
+            s_diag = s_diag + 1e-8 * jnp.maximum(
+                jnp.diagonal(s_diag, axis1=-2, axis2=-1), 1e-12
+            )[..., None] * eye_c
+
             def precond(v):
-                return linalg.cholesky_solve(b_damped, v)
+                return linalg.cholesky_solve(s_diag, v)
 
             def pdot(a, b):
                 return jax.lax.psum(jnp.sum(a * b), axis_name)
 
-            # Preconditioned CG, fixed iteration count.
+            # Preconditioned CG with breakdown guards: a non-positive
+            # curvature (rounding-induced indefiniteness) freezes the
+            # iterate instead of exploding.
             x0 = jnp.zeros_like(rhs)
             r0 = rhs
             z0 = precond(r0)
@@ -188,12 +200,18 @@ def sharded_solve_ba(
                 x, r_vec, z, p = state
                 ap = matvec(p)
                 rz = pdot(r_vec, z)
-                alpha = rz / jnp.maximum(pdot(p, ap), 1e-300)
+                pap = pdot(p, ap)
+                ok = (pap > 0.0) & (rz > 0.0)
+                alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
                 x = x + alpha * p
-                r_new = r_vec - alpha * ap
+                r_new = jnp.where(ok, r_vec - alpha * ap, r_vec)
                 z_new = precond(r_new)
-                beta = pdot(r_new, z_new) / jnp.maximum(rz, 1e-300)
-                p_new = z_new + beta * p
+                beta = jnp.where(
+                    ok,
+                    pdot(r_new, z_new) / jnp.where(ok, rz, 1.0),
+                    0.0,
+                )
+                p_new = jnp.where(ok, z_new + beta * p, p)
                 return (x, r_new, z_new, p_new)
 
             dx_cam, _, _, _ = jax.lax.fori_loop(

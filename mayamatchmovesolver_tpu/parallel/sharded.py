@@ -31,10 +31,10 @@ from mayamatchmovesolver_tpu.scene.attrblock import AttrBlock
 from mayamatchmovesolver_tpu.solver import linalg
 from mayamatchmovesolver_tpu.solver import problem as problem_mod
 
-try:  # jax >= 0.4.35
+try:
+    from jax import shard_map
+except ImportError:  # pragma: no cover - older jax
     from jax.experimental.shard_map import shard_map
-except ImportError:  # pragma: no cover
-    from jax.shard_map import shard_map
 
 
 def make_frame_mesh(devices=None, axis_name="frames"):
@@ -80,8 +80,21 @@ def sharded_normal_system(problem, mesh, axis_name="frames"):
         )
     local_frames = num_frames // n
 
-    def local_fn(anim_block, mask_block, params):
-        prob = _local_problem(problem, anim_block, mask_block, local_frames)
+    def local_fn(static_values, anim_block, mask_block, params):
+        # All array state enters as shard_map operands (closing over
+        # committed arrays mixes Auto/Manual mesh contexts).
+        prob = _local_problem(
+            dataclasses.replace(
+                problem,
+                attrs=AttrBlock(
+                    static_values=static_values,
+                    anim_values=anim_block,
+                ),
+            ),
+            anim_block,
+            mask_block,
+            local_frames,
+        )
 
         def residual(p):
             attrs = problem_mod.insert_parameters(prob, p)
@@ -98,13 +111,16 @@ def sharded_normal_system(problem, mesh, axis_name="frames"):
     fn = shard_map(
         local_fn,
         mesh=mesh,
-        in_specs=(P(None, axis_name), P(None, axis_name), P()),
+        in_specs=(P(), P(None, axis_name), P(None, axis_name), P()),
         out_specs=(P(), P(), P()),
     )
 
     def wrapped(params):
         return fn(
-            problem.attrs.anim_values, problem.marker_frame_mask, params
+            problem.attrs.static_values,
+            problem.attrs.anim_values,
+            problem.marker_frame_mask,
+            params,
         )
 
     return wrapped

@@ -118,6 +118,7 @@ def camera_solve(
         jnp.asarray(bearings[shared, f0]),
         jnp.asarray(bearings[shared, f1]),
         key=key,
+        num_hypotheses=128,
         inlier_threshold=1e-5,
     )
     r1 = np.asarray(pose.rotation)
@@ -204,6 +205,87 @@ def camera_solve(
         point_valid=valid,
         frame_solved=solved,
     )
+
+
+def refine_with_bundle_adjustment(
+    result: CameraSolveResult,
+    marker_xy,
+    enable_mask,
+    focal_length_mm=35.0,
+    film_back_width_mm=36.0,
+    film_back_height_mm=24.0,
+    render_aspect=None,
+    image_width=1920.0,
+    max_iterations=25,
+    solve_focal=False,
+):
+    """Full BA polish of the incremental SfM result — the reference's
+    final per-bundle + global bundle-adjust passes
+    (ref: _bundle_adjust, solvercamerautils.py:380) via our structured
+    Schur solver.
+
+    Returns (refined CameraSolveResult, BAResult).
+    """
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.core.transform import matrix_to_euler
+    from mayamatchmovesolver_tpu.solver import ba
+
+    if render_aspect is None:
+        render_aspect = film_back_width_mm / film_back_height_mm
+
+    num_markers, num_frames = np.asarray(enable_mask).shape
+    # Camera params: tx ty tz rx ry rz from the recovered poses.
+    eulers = np.asarray(
+        matrix_to_euler(
+            jnp.asarray(result.rotations), jnp.zeros((), jnp.int32)
+        )
+    )
+    cam_params = np.concatenate([result.positions, eulers], axis=-1)
+    if solve_focal:
+        cam_params = np.concatenate(
+            [cam_params, np.full((num_frames, 1), focal_length_mm)],
+            axis=-1,
+        )
+
+    weight = np.asarray(enable_mask, float) * result.point_valid[:, None]
+    problem = ba.make_ba_problem(
+        marker_uv=np.asarray(marker_xy),
+        weight=weight,
+        mkr_bnd_index=np.arange(num_markers),
+        cam_params=cam_params,
+        bnd_params=result.points3d,
+        focal_length_mm=focal_length_mm,
+        film_back_width_mm=film_back_width_mm,
+        film_back_height_mm=film_back_height_mm,
+        render_width=int(image_width),
+        render_height=int(round(image_width / render_aspect)),
+        image_width=image_width,
+        solve_focal=solve_focal,
+    )
+    ba_result = ba.solve_ba(problem, max_iterations=max_iterations)
+
+    cam_out = np.asarray(ba_result.cam_params)
+    from mayamatchmovesolver_tpu.core.transform import (
+        euler_to_rotation_matrix,
+    )
+
+    rotations = np.asarray(
+        euler_to_rotation_matrix(
+            jnp.asarray(cam_out[:, 3]),
+            jnp.asarray(cam_out[:, 4]),
+            jnp.asarray(cam_out[:, 5]),
+            jnp.zeros(num_frames, jnp.int32),
+        )
+    )
+    refined = CameraSolveResult(
+        rotations=rotations,
+        positions=cam_out[:, :3],
+        points3d=np.asarray(ba_result.bnd_params),
+        point_valid=result.point_valid,
+        frame_solved=result.frame_solved,
+    )
+    return refined, ba_result
 
 
 def set_origin_frame(result: CameraSolveResult, origin_frame=0,

@@ -134,9 +134,17 @@ def jacobi_eigh(a, sweeps=16):
         return (a, v)
 
     pairs = [(p, q) for p in range(n - 1) for q in range(p + 1, n)]
-    for _ in range(sweeps):
+
+    def sweep(_, state):
+        # One cyclic sweep, rotations unrolled (n(n-1)/2 of them); the
+        # sweep count loops via fori so the compiled program stays
+        # small (an unrolled 16x sweep nest was large enough to OOM the
+        # remote TPU compiler under vmap).
         for pq in pairs:
-            a, v = rotate((a, v), pq)
+            state = rotate(state, pq)
+        return state
+
+    a, v = jax.lax.fori_loop(0, sweeps, sweep, (a, v))
 
     eigvals = jnp.diagonal(a, axis1=-2, axis2=-1)
     order = jnp.argsort(eigvals, axis=-1)

@@ -312,6 +312,61 @@ def solve(
     return attrs_out, result
 
 
+@functools.partial(jax.jit, static_argnums=2)
+def _solve_per_frame_jit(base, frame_indices, config_static_tuple):
+    """The whole per-frame sweep as ONE program: vmapped LM over frames,
+    vectorized scatter of the solutions into the attr block, and the
+    final deviation measurement — a single dispatch (the remote-device
+    round-trip otherwise dominates wall-clock)."""
+    (max_it, tau, eps1, eps2, eps3, jac_mode) = config_static_tuple
+    config = lm_mod.LMConfig(
+        max_iterations=max_it, tau=tau, eps1=eps1, eps2=eps2, eps3=eps3,
+        jacobian_mode=jac_mode,
+    )
+
+    def solve_one(frame_idx):
+        prob = dataclasses.replace(
+            base,
+            frame_indices=frame_idx[None],
+            param_frames=jnp.broadcast_to(
+                frame_idx, base.param_frames.shape
+            ),
+        )
+        fn = problem_mod.residual_fn(prob)
+        x0 = problem_mod.initial_parameters(prob)
+        return lm_mod.levenberg_marquardt(fn, x0, config)
+
+    batched = jax.vmap(solve_one)(frame_indices)
+
+    # Vectorized scatter: all parameters are animated, so solution
+    # (F, P) writes to anim[channel_p, frame_f] after bound conversion.
+    from mayamatchmovesolver_tpu.solver import bounds as bounds_mod
+
+    external = bounds_mod.internal_to_external(
+        batched.x,
+        base.param_min[None, :],
+        base.param_max[None, :],
+        base.param_offset[None, :],
+        base.param_scale[None, :],
+    )  # (F, P)
+    channels = base.param_codes // 2  # (P,) all animated
+    anim_new = base.attrs.anim_values.at[
+        channels[None, :], frame_indices[:, None]
+    ].set(external.astype(base.attrs.anim_values.dtype))
+    attrs_out = base.attrs._replace(anim_values=anim_new)
+
+    final_prob = dataclasses.replace(
+        base,
+        attrs=attrs_out,
+        frame_indices=frame_indices,
+        marker_frame_mask=jnp.ones(
+            (base.scene.num_markers, frame_indices.shape[0]), bool
+        ),
+    )
+    _, aux = problem_mod.measure_residuals(final_prob, attrs_out)
+    return attrs_out, batched, aux
+
+
 def solve_per_frame(
     scene,
     attrs: AttrBlock,
@@ -343,42 +398,21 @@ def solve_per_frame(
     base = build_problem(
         scene, attrs, frame_indices[:1], anim_attrs, options, lens=lens
     )
-    config = _lm_config(options)
-
-    def solve_one(frame_idx):
-        prob = dataclasses.replace(
-            base,
-            frame_indices=frame_idx[None],
-            param_frames=jnp.broadcast_to(
-                frame_idx, base.param_frames.shape
-            ),
-        )
-        fn = problem_mod.residual_fn(prob)
-        x0 = problem_mod.initial_parameters(prob)
-        res = lm_mod.levenberg_marquardt(fn, x0, config)
-        return res
+    cfg = (
+        int(options.iterations),
+        float(options.tau),
+        float(options.eps1),
+        float(options.eps2),
+        float(options.eps3),
+        options.jacobian_mode,
+    )
 
     t0 = time.perf_counter()
-    batched = jax.jit(jax.vmap(solve_one))(jnp.asarray(frame_indices))
-    jax.block_until_ready(batched.x)
-    solve_seconds = time.perf_counter() - t0
-
-    # Scatter per-frame solutions back into the attr block.
-    xs = batched.x  # (F, P)
-    attrs_out = attrs
-    for fi, frame in enumerate(frame_indices):
-        prob = dataclasses.replace(
-            base,
-            frame_indices=jnp.asarray([frame]),
-            param_frames=jnp.full_like(base.param_frames, frame),
-            attrs=attrs_out,
-        )
-        attrs_out = problem_mod.insert_parameters(prob, xs[fi])
-
-    final_prob = build_problem(
-        scene, attrs_out, frame_indices, anim_attrs, options, lens=lens
+    attrs_out, batched, aux = _solve_per_frame_jit(
+        base, jnp.asarray(frame_indices), cfg
     )
-    _, aux = problem_mod.measure_residuals(final_prob, attrs_out)
+    jax.block_until_ready(attrs_out.anim_values)
+    solve_seconds = time.perf_counter() - t0
 
     result = results_mod.SolverResult()
     result.success = True
