@@ -69,14 +69,17 @@ def build_per_frame_pose_problem(num_frames=50, num_bundles=20):
     ]
     scene, attrs = sg.bake()
 
-    # Synthesize marker tracks from ground truth.
+    # Synthesize marker tracks from ground truth (inverse film-fit).
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+
     ev = evaluate(scene, attrs, jnp.arange(num_frames))
-    point_xy = np.asarray(ev.point_xy)  # (M, F, 2)
-    anim = np.array(attrs.anim_values)
-    for i, mkr in enumerate(markers):
-        anim[mkr.attr("tx").code // 2] = point_xy[i, :, 0]
-        anim[mkr.attr("ty").code // 2] = point_xy[i, :, 1]
+    attrs = set_marker_screen_positions(
+        scene, attrs, jnp.arange(num_frames), ev.point_xy
+    )
     # Perturb the camera pose (the thing to solve back).
+    anim = np.array(attrs.anim_values)
     for ch, delta in [("tx", 0.2), ("ty", -0.15), ("tz", 0.3),
                       ("rx", 1.0), ("ry", -1.5), ("rz", 0.5)]:
         anim[cam.attr(ch).code // 2] += delta

@@ -1,4 +1,4 @@
-"""Lens distortion ST-map generation — Pallas TPU kernel.
+"""Lens distortion ST-map generation — Pallas TPU kernels.
 
 Replaces the reference's rayon-parallel per-scanline image distortion
 engine (ref: lib/cppbind/mmlens/src/distortion_process.rs:26-70 and the
@@ -10,7 +10,18 @@ The Pallas kernel tiles the image into (TILE_H, TILE_W) VMEM blocks;
 each block derives its pixel coordinates from the grid position with
 broadcasted_iota (no coordinate tensor ever hits HBM), runs the lens
 polynomial (and its fixed-point inverse for the distort direction)
-entirely in registers/VMEM, and writes the two coordinate planes.
+entirely in VMEM, and writes the two coordinate planes.
+
+All four 3DE models share one kernel: each model's undistort is
+POST @ core(PRE @ xy) for a polynomial `core` and constant 2x2
+matrices (identity for classic, the cylindric matrix for radial
+deg-4, the rotation/squeeze extender products for the anamorphics —
+ref: lib/cppbind/mmlens/src/distortion_structs.h).  The distort
+direction inverts: inv(PRE) @ core^-1(inv(POST) @ xy) with the ldpk
+fixed-point scheme.  Lens parameters are compile-time constants (an
+ST-map export is one-shot per parameter set) so the entire polynomial
+constant-folds into the kernel.
+
 A pure-XLA fallback covers every model type and doubles as the oracle.
 """
 
@@ -18,6 +29,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -56,9 +68,12 @@ def stmap_xla(model, film_back, width, height, direction="distort",
     return rgba.astype(jnp.float32)
 
 
-def _classic_undistort_tile(params, x, y):
-    """TdeClassic undistort on coordinate tiles (same math as
-    models/tde.py, expressed on separate x/y planes)."""
+# ---------------------------------------------------------------------------
+# Plane-form polynomial cores (x/y as separate (TILE_H, TILE_W) planes;
+# same math as models/tde.py, checked against it by the oracle tests).
+
+
+def _classic_core(params, x, y):
     ld, sq, cx, cy, qu = params
     cxx = ld / sq
     cxy = (ld + cx) / sq
@@ -75,15 +90,114 @@ def _classic_undistort_tile(params, x, y):
     return qx, qy
 
 
-def _stmap_classic_kernel(out_s_ref, out_t_ref, *, width, height,
-                          distort, inverse_iterations, lens_params,
-                          film_back):
-    """One (TILE_H, TILE_W) block of the ST map.
+def _radial_deg4_core(params, x, y):
+    c2, u2, v2, c4, u4, v4 = params
+    x2, y2 = x * x, y * y
+    xy_ = x * y
+    r2 = x2 + y2
+    r4 = r2 * r2
+    radial = 1.0 + c2 * r2 + c4 * r4
+    qx = (
+        x * radial
+        + (r2 + 2.0 * x2) * (u2 + u4 * r2)
+        + 2.0 * xy_ * (v2 + v4 * r2)
+    )
+    qy = (
+        y * radial
+        + (r2 + 2.0 * y2) * (v2 + v4 * r2)
+        + 2.0 * xy_ * (u2 + u4 * r2)
+    )
+    return qx, qy
 
-    Lens/camera parameters are compile-time constants (an ST-map export
-    is one-shot per parameter set, so recompiles are free and the whole
-    polynomial constant-folds into the kernel).
-    """
+
+def _anamorphic_core(params, x, y):
+    (cx02, cy02, cx22, cy22, cx04, cy04, cx24, cy24, cx44,
+     cy44) = params
+    x2, y2 = x * x, y * y
+    r2 = x2 + y2
+    r4 = r2 * r2
+    safe_r2 = jnp.maximum(r2, 1e-30)
+    cos2 = (x2 - y2) / safe_r2
+    cos4 = 2.0 * cos2 * cos2 - 1.0
+    fx = (
+        1.0 + cx02 * r2 + cx04 * r4
+        + cos2 * (cx22 * r2 + cx24 * r4)
+        + cos4 * cx44 * r4
+    )
+    fy = (
+        1.0 + cy02 * r2 + cy04 * r4
+        + cos2 * (cy22 * r2 + cy24 * r4)
+        + cos4 * cy44 * r4
+    )
+    return x * fx, y * fy
+
+
+def _model_kernel_config(model, film_back):
+    """(core_fn, params, pre, post) for the uniform
+    undistort(xy) = post @ core(pre @ xy) structure.  pre/post are
+    host-side numpy 2x2 matrices (compile-time constants)."""
+    eye = np.eye(2)
+    if isinstance(model, tde.TdeClassic):
+        params = (
+            float(model.distortion),
+            float(model.anamorphic_squeeze),
+            float(model.curvature_x),
+            float(model.curvature_y),
+            float(model.quartic_distortion),
+        )
+        return _classic_core, params, eye, eye
+    if isinstance(model, tde.TdeRadialStdDeg4):
+        params = (
+            float(model.degree2_distortion),
+            float(model.degree2_u),
+            float(model.degree2_v),
+            float(model.degree4_distortion),
+            float(model.degree4_u),
+            float(model.degree4_v),
+        )
+        post = np.asarray(
+            tde._cylindric_matrix(
+                model.cylindric_direction, model.cylindric_bending
+            ),
+            dtype=np.float64,
+        )
+        return _radial_deg4_core, params, eye, post
+    if isinstance(model, (tde.TdeAnamorphicStdDeg4,
+                          tde.TdeAnamorphicStdDeg4Rescaled)):
+        params = (
+            float(model.degree2_cx02), float(model.degree2_cy02),
+            float(model.degree2_cx22), float(model.degree2_cy22),
+            float(model.degree4_cx04), float(model.degree4_cy04),
+            float(model.degree4_cx24), float(model.degree4_cy24),
+            float(model.degree4_cx44), float(model.degree4_cy44),
+        )
+        rescale = (
+            model.rescale
+            if isinstance(model, tde.TdeAnamorphicStdDeg4Rescaled)
+            else None
+        )
+        a, b = tde._anamorphic_matrices(
+            model, film_back.pixel_aspect, rescale
+        )
+        return (
+            _anamorphic_core,
+            params,
+            np.linalg.inv(np.asarray(b, dtype=np.float64)),
+            np.asarray(a, dtype=np.float64),
+        )
+    return None
+
+
+def _mat_apply_planes(m, x, y):
+    if m is None:
+        return x, y
+    return (m[0][0] * x + m[0][1] * y, m[1][0] * x + m[1][1] * y)
+
+
+def _stmap_kernel(out_s_ref, out_t_ref, *, width, height, distort,
+                  inverse_iterations, core, params, pre, post,
+                  film_back):
+    """One (TILE_H, TILE_W) block of the ST map."""
     i = pl.program_id(0)
     j = pl.program_id(1)
     row0 = (i * TILE_H).astype(jnp.float32)
@@ -105,25 +219,33 @@ def _stmap_classic_kernel(out_s_ref, out_t_ref, *, width, height,
     x_dn = ((x_unit - 0.5) * fbw - lcox) / radius
     y_dn = ((y_unit - 0.5) * fbh - lcoy) / radius
 
-    params = lens_params
-
     if distort:
-        # Fixed-point inverse of the undistort polynomial.
-        ux, uy = _classic_undistort_tile(params, x_dn, y_dn)
-        px = x_dn - (ux - x_dn)
-        py = y_dn - (uy - y_dn)
+        # Fixed-point inverse of post @ core(pre @ xy):
+        #   inv(pre) @ core^-1(inv(post) @ xy)
+        # (ldpk scheme p <- p + (target - core(p)), ref: models/base.py
+        # fixed_point_inverse).
+        tx, ty = _mat_apply_planes(
+            np.linalg.inv(post).tolist(), x_dn, y_dn
+        )
+        ux, uy = core(params, tx, ty)
+        px = tx - (ux - tx)
+        py = ty - (uy - ty)
 
         def body(_, carry):
             px, py = carry
-            fx, fy = _classic_undistort_tile(params, px, py)
-            return (px + (x_dn - fx), py + (y_dn - fy))
+            fx, fy = core(params, px, py)
+            return (px + (tx - fx), py + (ty - fy))
 
         px, py = jax.lax.fori_loop(
             0, inverse_iterations, body, (px, py)
         )
-        out_x, out_y = px, py
+        out_x, out_y = _mat_apply_planes(
+            np.linalg.inv(pre).tolist(), px, py
+        )
     else:
-        out_x, out_y = _classic_undistort_tile(params, x_dn, y_dn)
+        ix, iy = _mat_apply_planes(pre.tolist(), x_dn, y_dn)
+        qx, qy = core(params, ix, iy)
+        out_x, out_y = _mat_apply_planes(post.tolist(), qx, qy)
 
     # dn -> unit.
     s = (out_x * radius + fbw * 0.5 + lcox) / fbw
@@ -132,27 +254,28 @@ def _stmap_classic_kernel(out_s_ref, out_t_ref, *, width, height,
     out_t_ref[:, :] = t
 
 
-def stmap_classic_pallas(model: tde.TdeClassic,
-                         film_back: lens_base.FilmBack,
-                         width, height, direction="distort",
-                         inverse_iterations=20):
-    """Pallas ST map for the 3DE classic model; returns (H, W, 4)."""
+def stmap_pallas(model, film_back, width, height, direction="distort",
+                 inverse_iterations=20):
+    """Pallas ST map for any 3DE model; returns (H, W, 4) float32."""
+    config = _model_kernel_config(model, film_back)
+    if config is None:
+        raise TypeError(
+            "no Pallas ST-map kernel for %r" % (type(model),)
+        )
+    core, params, pre, post = config
     height_pad = -(-height // TILE_H) * TILE_H
     width_pad = -(-width // TILE_W) * TILE_W
 
     kernel = functools.partial(
-        _stmap_classic_kernel,
+        _stmap_kernel,
         width=float(width),
         height=float(height),
         distort=(direction == "distort"),
         inverse_iterations=inverse_iterations,
-        lens_params=(
-            float(model.distortion),
-            float(model.anamorphic_squeeze),
-            float(model.curvature_x),
-            float(model.curvature_y),
-            float(model.quartic_distortion),
-        ),
+        core=core,
+        params=params,
+        pre=pre,
+        post=post,
         film_back=(
             float(film_back.film_back_width_cm),
             float(film_back.film_back_height_cm),
@@ -187,12 +310,22 @@ def stmap_classic_pallas(model: tde.TdeClassic,
     )
 
 
+def stmap_classic_pallas(model: tde.TdeClassic,
+                         film_back: lens_base.FilmBack,
+                         width, height, direction="distort",
+                         inverse_iterations=20):
+    """Back-compat alias for the classic model."""
+    return stmap_pallas(model, film_back, width, height,
+                        direction=direction,
+                        inverse_iterations=inverse_iterations)
+
+
 def stmap(model, film_back, width, height, direction="distort",
           use_pallas=True):
     """Dispatch: Pallas fast path for supported models, XLA otherwise."""
-    if use_pallas and isinstance(model, tde.TdeClassic):
+    if use_pallas and not isinstance(model, tde.Passthrough):
         try:
-            return stmap_classic_pallas(
+            return stmap_pallas(
                 model, film_back, width, height, direction
             )
         except Exception:  # pragma: no cover - fallback on any lowering gap

@@ -274,6 +274,64 @@ def evaluate(scene: FlatScene, attrs: AttrBlock, frame_indices) -> SceneEval:
     )
 
 
+def marker_fit_scale(scene: FlatScene, attrs: AttrBlock, frame_indices):
+    """Per-marker film-fit scale factors, shaped ((M, F), (M, F)).
+
+    Raw marker tx/ty attributes live in pre-film-fit marker space; the
+    evaluator multiplies them by these factors to place them in the same
+    screen space as reprojected points (ref: scene/flat.rs:73-97).
+    """
+    cv = gather_attr_values(attrs, scene.cam_attr_codes, frame_indices)
+    sensor_aspect = cv[:, CAM_ATTRS.index("sensor_width_mm"), :] / cv[
+        :, CAM_ATTRS.index("sensor_height_mm"), :
+    ]
+    render_aspect = scene.cam_render_size[:, 0:1] / scene.cam_render_size[
+        :, 1:2
+    ]
+    fit_sx, fit_sy = cam_math.marker_film_fit_scale(
+        scene.cam_film_fit[:, None], sensor_aspect, render_aspect
+    )
+    return fit_sx[scene.mkr_cam_index], fit_sy[scene.mkr_cam_index]
+
+
+def set_marker_screen_positions(
+    scene: FlatScene, attrs: AttrBlock, frame_indices, screen_xy
+):
+    """Write screen-space positions into the raw marker tx/ty attributes.
+
+    screen_xy: (M, F, 2) in the reprojected-point screen space (the space
+    of SceneEval.point_xy / marker_xy).  The inverse film-fit scale is
+    applied so that a subsequent evaluate() reproduces marker_xy ==
+    screen_xy.  Used to synthesize ground-truth tracks for tests and the
+    camera-solve bootstrap (the reference instead loads tracker files that
+    are already in marker space).  Returns a new AttrBlock.
+    """
+    fsx, fsy = marker_fit_scale(scene, attrs, frame_indices)
+    raw = np.stack(
+        [
+            np.asarray(screen_xy)[..., 0] / np.asarray(fsx),
+            np.asarray(screen_xy)[..., 1] / np.asarray(fsy),
+        ],
+        axis=-1,
+    )  # (M, F, 2)
+    fi = np.asarray(frame_indices)
+    anim = np.array(attrs.anim_values)
+    static = np.array(attrs.static_values)
+    codes = np.asarray(scene.mkr_attr_codes)
+    for m in range(codes.shape[0]):
+        for ci in (0, 1):  # tx, ty columns of MKR_ATTRS
+            code = int(codes[m, ci])
+            if code < 0:
+                continue
+            if code % 2 == 1:
+                anim[code // 2, fi] = raw[m, :, ci]
+            else:
+                static[code // 2] = raw[m, 0, ci]
+    return attrs._replace(
+        static_values=jnp.asarray(static), anim_values=jnp.asarray(anim)
+    )
+
+
 def flat_scene_from_numpy(
     tfm_attr_codes,
     tfm_rotate_order,

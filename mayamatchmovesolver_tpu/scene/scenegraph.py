@@ -153,6 +153,11 @@ class SceneGraph:
     def num_frames(self):
         return len(self.frames)
 
+    @property
+    def frame_range(self):
+        """Inclusive (start, end) of the baked frame range."""
+        return (self.start_frame, self.end_frame)
+
     def frame_index(self, frame):
         return int(frame) - self.start_frame
 

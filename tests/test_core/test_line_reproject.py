@@ -101,11 +101,14 @@ def test_triangulate_markers_recovers_bundles():
                          tx=np.zeros(n), ty=np.zeros(n))
     scene, attrs = sg.bake()
     ev = evaluate(scene, attrs, jnp.arange(n))
-    anim = np.array(attrs.anim_values)
-    for i, mkr in enumerate(sg._markers):
-        anim[mkr.attr("tx").code // 2] = np.asarray(ev.point_xy)[i, :, 0]
-        anim[mkr.attr("ty").code // 2] = np.asarray(ev.point_xy)[i, :, 1]
-    attrs = attrs._replace(anim_values=jnp.asarray(anim))
+    # Raw marker attrs live in pre-film-fit space; invert the fit scale.
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+
+    attrs = set_marker_screen_positions(
+        scene, attrs, jnp.arange(n), ev.point_xy
+    )
 
     points, ok = triangulate.triangulate_markers(
         scene, attrs, jnp.arange(n)

@@ -99,10 +99,13 @@ def test_sharded_lm_static_params():
                            tx=np.zeros(n), ty=np.zeros(n))
     scene, attrs = sg.bake()
     ev = evaluate(scene, attrs, jnp.arange(n))
-    anim = np.array(attrs.anim_values)
-    anim[mkr.attr("tx").code // 2] = np.asarray(ev.point_xy)[0, :, 0]
-    anim[mkr.attr("ty").code // 2] = np.asarray(ev.point_xy)[0, :, 1]
-    attrs = attrs._replace(anim_values=jnp.asarray(anim))
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+
+    attrs = set_marker_screen_positions(
+        scene, attrs, jnp.arange(n), ev.point_xy
+    )
     static = np.array(attrs.static_values)
     static[bnd.attr("tx").code // 2] += 0.3
     attrs = attrs._replace(static_values=jnp.asarray(static))
