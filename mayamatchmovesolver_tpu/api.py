@@ -130,9 +130,22 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
         baked_lens = scenelens.bake_scene_lens(collection.scene_graph)
         lens = baked_lens if baked_lens.has_any() else None
 
+    # Only the collection's markers measure error (the reference
+    # restricts the solve to the Collection set's members,
+    # _api/collection.py; markers outside the set are ignored).
+    import numpy as np
+
+    marker_mask = None
+    all_markers = collection.scene_graph._markers
+    if len(collection.markers) != len(all_markers):
+        marker_mask = np.zeros(len(all_markers), dtype=bool)
+        for m in collection.markers:
+            marker_mask[m.mkr_index] = True
+
     solver = collection.solver
     return solver.execute(
-        scene, attrs, collection.attributes, options
+        scene, attrs, collection.attributes, options,
+        lens=lens, marker_mask=marker_mask,
     )
 
 

@@ -48,8 +48,12 @@ CAM_ATTRS = (
     "far_clip_cm",
     "camera_scale",
 )
-# Column layout of mkr_attr_codes.
-MKR_ATTRS = ("tx", "ty", "weight", "enable")
+# Column layout of mkr_attr_codes.  overscan_x/y come from the marker's
+# MarkerGroup (shared attr codes; ATTR_NONE evaluates as 1.0) — the
+# capability of the reference's MarkerGroup/mmMarkerScale overscan
+# (ref: src/mmSolver/node/MMMarkerScaleNode.cpp,
+# python/mmSolver/_api/markergroup.py).
+MKR_ATTRS = ("tx", "ty", "weight", "enable", "overscan_x", "overscan_y")
 
 
 @jax.tree_util.register_dataclass
@@ -78,7 +82,7 @@ class FlatScene:
     # Markers.
     mkr_cam_index: jax.Array  # (M,) int32
     mkr_bnd_index: jax.Array  # (M,) int32
-    mkr_attr_codes: jax.Array  # (M, 4) int32
+    mkr_attr_codes: jax.Array  # (M, 6) int32
 
     doubling_steps: int = dataclasses.field(metadata={"static": True})
 
@@ -244,6 +248,15 @@ def evaluate(scene: FlatScene, attrs: AttrBlock, frame_indices) -> SceneEval:
     enable_code = scene.mkr_attr_codes[:, 3]
     marker_weight = jnp.where((weight_code < 0)[:, None], 1.0, mv[:, 2, :])
     marker_enable = jnp.where((enable_code < 0)[:, None], 1.0, mv[:, 3, :])
+    # MarkerGroup overscan scale (defaults to 1 when unset).
+    osx = jnp.where(
+        (scene.mkr_attr_codes[:, 4] < 0)[:, None], 1.0, mv[:, 4, :]
+    )
+    osy = jnp.where(
+        (scene.mkr_attr_codes[:, 5] < 0)[:, None], 1.0, mv[:, 5, :]
+    )
+    mkr_tx = mkr_tx * osx
+    mkr_ty = mkr_ty * osy
 
     # Film-fit scaling of the marker position so marker and reprojected
     # point live in the same space (ref: scene/flat.rs:73-97, 330-344).
@@ -307,10 +320,22 @@ def set_marker_screen_positions(
     are already in marker space).  Returns a new AttrBlock.
     """
     fsx, fsy = marker_fit_scale(scene, attrs, frame_indices)
+    # MarkerGroup overscan also scales raw markers at evaluation.
+    ov = gather_attr_values(
+        attrs, scene.mkr_attr_codes[:, 4:6], frame_indices
+    )
+    osx = np.where(
+        np.asarray(scene.mkr_attr_codes[:, 4] < 0)[:, None],
+        1.0, np.asarray(ov[:, 0, :]),
+    )
+    osy = np.where(
+        np.asarray(scene.mkr_attr_codes[:, 5] < 0)[:, None],
+        1.0, np.asarray(ov[:, 1, :]),
+    )
     raw = np.stack(
         [
-            np.asarray(screen_xy)[..., 0] / np.asarray(fsx),
-            np.asarray(screen_xy)[..., 1] / np.asarray(fsy),
+            np.asarray(screen_xy)[..., 0] / (np.asarray(fsx) * osx),
+            np.asarray(screen_xy)[..., 1] / (np.asarray(fsy) * osy),
         ],
         axis=-1,
     )  # (M, F, 2)

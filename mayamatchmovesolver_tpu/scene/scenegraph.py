@@ -100,13 +100,28 @@ class BundleNode(TransformNode):
         self.bnd_index = None
 
 
+class MarkerGroupNode(_Node):
+    """Shared 2D overscan scale for a set of markers — the capability
+    of the reference's MarkerGroup + mmMarkerScale overscan
+    (ref: python/mmSolver/_api/markergroup.py,
+    src/mmSolver/node/MMMarkerScaleNode.cpp).  Markers in the group
+    reference the group's overscan attr codes directly."""
+
+    kind = "markergroup"
+
+    def __init__(self, graph, name, camera):
+        super().__init__(graph, name)
+        self.camera = camera
+
+
 class MarkerNode(_Node):
     kind = "marker"
 
-    def __init__(self, graph, name, camera, bundle):
+    def __init__(self, graph, name, camera, bundle, group=None):
         super().__init__(graph, name)
         self.camera = camera
         self.bundle = bundle
+        self.group = group
         self.mkr_index = None
 
 
@@ -130,6 +145,8 @@ _CAM_DEFAULTS = {
 }
 
 _MKR_DEFAULTS = {"tx": 0.0, "ty": 0.0, "weight": 1.0, "enable": 1.0}
+
+_MKR_GROUP_DEFAULTS = {"overscan_x": 1.0, "overscan_y": 1.0}
 
 
 class SceneGraph:
@@ -214,16 +231,28 @@ class SceneGraph:
         self._add_attrs(node, _TFM_DEFAULTS, values)
         return node
 
-    def create_marker(self, name, camera, bundle, **values):
+    def create_marker_group(self, name, camera=None, **values):
+        """Create a MarkerGroup with (optionally animated) overscan_x/y
+        scale attributes shared by its markers."""
+        self._check_name(name)
+        node = MarkerGroupNode(self, name, camera)
+        self._add_attrs(node, _MKR_GROUP_DEFAULTS, values)
+        return node
+
+    def create_marker(self, name, camera, bundle, group=None, **values):
         self._check_name(name)
         if camera.cam_index is None:
             raise ValueError("marker camera must be a CameraNode")
         if bundle.bnd_index is None:
             raise ValueError("marker bundle must be a BundleNode")
-        node = MarkerNode(self, name, camera, bundle)
+        node = MarkerNode(self, name, camera, bundle, group=group)
         node.mkr_index = len(self._markers)
         self._markers.append(node)
         self._add_attrs(node, _MKR_DEFAULTS, values)
+        if group is not None:
+            # Share the group's overscan attribute codes.
+            node.attrs["overscan_x"] = group.attr("overscan_x")
+            node.attrs["overscan_y"] = group.attr("overscan_y")
         return node
 
     def bake(self, dtype=None):

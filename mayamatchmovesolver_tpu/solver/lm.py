@@ -62,18 +62,32 @@ class _State(NamedTuple):
     stop: jax.Array
 
 
-def _jacobian_fn(residual_fn, mode):
+def _make_normal_system(residual_fn, mode):
+    """residual + JtJ + Jtr in one pass.
+
+    fwd mode: jax.linearize shares the primal computation with the n
+    tangent passes (one scene evaluation total per system, vs the
+    reference's 1 + n full finite-difference evaluations,
+    adjust_solveFunc.cpp:305-525).  rev mode: one VJP per residual row
+    via jacrev (better when m << n).
+    """
     if mode == "rev":
-        return jax.jacrev(residual_fn)
-    return jax.jacfwd(residual_fn)
+        jac_fn = jax.jacrev(residual_fn)
 
+        def system(x):
+            r = residual_fn(x)
+            j = jac_fn(x)
+            return r, j.T @ j, j.T @ r
 
-def _normal_system(residual_fn, jac_fn, x):
-    r = residual_fn(x)
-    j = jac_fn(x)
-    jtj = j.T @ j
-    jtr = j.T @ r
-    return r, jtj, jtr
+        return system
+
+    def system(x):
+        r, lin = jax.linearize(residual_fn, x)
+        basis = jnp.eye(x.shape[0], dtype=x.dtype)
+        jt = jax.vmap(lin)(basis)  # (n, m): row i = J @ e_i
+        return r, jt @ jt.T, jt @ r
+
+    return system
 
 
 def _solve_damped(jtj, jtr, mu, diag_floor=1e-12):
@@ -93,10 +107,10 @@ def levenberg_marquardt(
     residual_fn: Callable, x0, config: LMConfig = LMConfig()
 ) -> LMResult:
     """Minimize 0.5*||residual_fn(x)||^2.  Jittable end-to-end."""
-    jac_fn = _jacobian_fn(residual_fn, config.jacobian_mode)
+    normal_system = _make_normal_system(residual_fn, config.jacobian_mode)
     x0 = jnp.asarray(x0)
 
-    r0, jtj0, jtr0 = _normal_system(residual_fn, jac_fn, x0)
+    r0, jtj0, jtr0 = normal_system(x0)
     cost0 = 0.5 * jnp.sum(r0 * r0)
     mu0 = config.tau * jnp.max(jnp.diag(jtj0))
 
@@ -128,7 +142,11 @@ def levenberg_marquardt(
         )
 
         x_new = s.x + dx
-        r_new = residual_fn(x_new)
+        # One linearize pass gives residual AND normal system at the
+        # trial point; on rejection it is discarded via select.  (The
+        # main consumer is the vmapped per-frame solve, where a
+        # lax.cond would execute both branches anyway.)
+        r_new, jtj_new, jtr_new = normal_system(x_new)
         cost_new = 0.5 * jnp.sum(r_new * r_new)
 
         d = jnp.maximum(jnp.diag(s.jtj), 1e-12)
@@ -138,15 +156,9 @@ def levenberg_marquardt(
 
         accept = dx_ok & (rho > 0.0) & jnp.isfinite(cost_new)
 
-        # On accept: recompute the normal system at x_new.
-        def accepted(_):
-            r2, jtj2, jtr2 = _normal_system(residual_fn, jac_fn, x_new)
-            return r2, jtj2, jtr2
-
-        def rejected(_):
-            return s.r, s.jtj, s.jtr
-
-        r2, jtj2, jtr2 = jax.lax.cond(accept, accepted, rejected, None)
+        r2 = jnp.where(accept, r_new, s.r)
+        jtj2 = jnp.where(accept, jtj_new, s.jtj)
+        jtr2 = jnp.where(accept, jtr_new, s.jtr)
 
         mu_accept = s.mu * jnp.maximum(
             1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
@@ -177,7 +189,7 @@ def levenberg_marquardt(
 
         return _State(
             x=x2,
-            r=jnp.where(accept, r2, s.r),
+            r=r2,
             jtj=jtj2,
             jtr=jtr2,
             cost=cost2,

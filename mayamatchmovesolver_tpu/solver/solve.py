@@ -359,8 +359,9 @@ def _solve_per_frame_jit(base, frame_indices, config_static_tuple):
         base,
         attrs=attrs_out,
         frame_indices=frame_indices,
-        marker_frame_mask=jnp.ones(
-            (base.scene.num_markers, frame_indices.shape[0]), bool
+        marker_frame_mask=jnp.broadcast_to(
+            base.marker_frame_mask[:, :1],
+            (base.scene.num_markers, frame_indices.shape[0]),
         ),
     )
     _, aux = problem_mod.measure_residuals(final_prob, attrs_out)
@@ -374,6 +375,7 @@ def solve_per_frame(
     solve_attrs: Sequence[Attribute],
     options: Optional[SolverOptions] = None,
     lens=None,
+    marker_mask=None,
 ):
     """Per-frame solve mode: each frame is an independent problem.
 
@@ -395,8 +397,15 @@ def solve_per_frame(
             "solve static attrs in ALL_FRAMES_AT_ONCE mode"
         )
 
+    mask1 = None
+    if marker_mask is not None:
+        mask1 = np.broadcast_to(
+            np.asarray(marker_mask, dtype=bool)[:, None],
+            (scene.num_markers, 1),
+        )
     base = build_problem(
-        scene, attrs, frame_indices[:1], anim_attrs, options, lens=lens
+        scene, attrs, frame_indices[:1], anim_attrs, options, lens=lens,
+        marker_frame_mask=mask1,
     )
     cfg = (
         int(options.iterations),

@@ -22,6 +22,17 @@ from mayamatchmovesolver_tpu.solver.solve import (
 )
 
 
+def _expand_mask(marker_mask, scene, frame_indices):
+    """(M,) marker selection -> (M, F) marker_frame_mask (None passes
+    through: all markers measured)."""
+    if marker_mask is None:
+        return None
+    return np.broadcast_to(
+        np.asarray(marker_mask, dtype=bool)[:, None],
+        (scene.num_markers, len(list(frame_indices))),
+    )
+
+
 @dataclasses.dataclass
 class Action:
     """One executable solve step
@@ -40,15 +51,18 @@ class SolverBase:
     """(ref: solverbase.py.)  Subclasses implement execute(); compile()
     exposes the schedule as Actions for inspection."""
 
-    def execute(self, scene, attrs, solve_attrs, options=None):
+    def execute(self, scene, attrs, solve_attrs, options=None,
+                lens=None, marker_mask=None):
         raise NotImplementedError
 
-    def compile(self, scene, attrs, solve_attrs, options=None):
+    def compile(self, scene, attrs, solve_attrs, options=None,
+                lens=None, marker_mask=None):
         return [
             Action(
                 name=type(self).__name__,
                 func=self.execute,
                 args=(scene, attrs, solve_attrs, options),
+                kwargs=dict(lens=lens, marker_mask=marker_mask),
             )
         ]
 
@@ -60,10 +74,14 @@ class SolverStep(SolverBase):
     def __init__(self, frame_indices):
         self.frame_indices = list(frame_indices)
 
-    def execute(self, scene, attrs, solve_attrs, options=None):
+    def execute(self, scene, attrs, solve_attrs, options=None,
+                lens=None, marker_mask=None):
         options = options or SolverOptions()
         attrs, result = solve(
-            scene, attrs, self.frame_indices, solve_attrs, options
+            scene, attrs, self.frame_indices, solve_attrs, options,
+            lens=lens, marker_frame_mask=_expand_mask(
+                marker_mask, scene, self.frame_indices
+            ),
         )
         return attrs, [result]
 
@@ -76,11 +94,13 @@ class SolverBasic(SolverBase):
     def __init__(self, frame_indices):
         self.frame_indices = list(frame_indices)
 
-    def execute(self, scene, attrs, solve_attrs, options=None):
+    def execute(self, scene, attrs, solve_attrs, options=None,
+                lens=None, marker_mask=None):
         options = options or SolverOptions()
         anim = [a for a in solve_attrs if a.code % 2 == 1]
         attrs, result = solve_per_frame(
-            scene, attrs, self.frame_indices, anim, options
+            scene, attrs, self.frame_indices, anim, options,
+            lens=lens, marker_mask=marker_mask,
         )
         return attrs, [result]
 
@@ -153,13 +173,17 @@ class SolverStandard(SolverBase):
         )
         return [f for f in roots if f in self.frame_indices]
 
-    def execute(self, scene, attrs, solve_attrs, options=None):
+    def execute(self, scene, attrs, solve_attrs, options=None,
+                lens=None, marker_mask=None):
         options = options or SolverOptions()
         results = []
 
         if self.use_single_frame or len(self.frame_indices) == 1:
             attrs, result = solve(
-                scene, attrs, self.frame_indices[:1], solve_attrs, options
+                scene, attrs, self.frame_indices[:1], solve_attrs, options,
+                lens=lens, marker_frame_mask=_expand_mask(
+                    marker_mask, scene, self.frame_indices[:1]
+                ),
             )
             return attrs, [result]
 
@@ -176,21 +200,27 @@ class SolverStandard(SolverBase):
         # roots), batched per the root-frame strategy.
         for batch in root_frame_schedule(roots,
                                          self.root_frame_strategy):
-            attrs, result = solve(scene, attrs, batch, solve_attrs,
-                                  options)
+            attrs, result = solve(
+                scene, attrs, batch, solve_attrs, options, lens=lens,
+                marker_frame_mask=_expand_mask(marker_mask, scene, batch),
+            )
             results.append(result)
 
         # Pass 2: per-frame animated sweep over the full range.
         if anim_attrs:
             attrs, result = solve_per_frame(
-                scene, attrs, self.frame_indices, anim_attrs, options
+                scene, attrs, self.frame_indices, anim_attrs, options,
+                lens=lens, marker_mask=marker_mask,
             )
             results.append(result)
 
         # Pass 3 (optional): one global all-frames polish.
         if self.global_solve:
             attrs, result = solve(
-                scene, attrs, self.frame_indices, solve_attrs, options
+                scene, attrs, self.frame_indices, solve_attrs, options,
+                lens=lens, marker_frame_mask=_expand_mask(
+                    marker_mask, scene, self.frame_indices
+                ),
             )
             results.append(result)
 

@@ -1,18 +1,18 @@
 """Test configuration.
 
-Notes on this sandbox: the JAX platform is forced to the 'axon' TPU
-tunnel (JAX_PLATFORMS=cpu is ignored), every XLA compile is a remote
-round-trip, and f64 LU/QR/Cholesky decompositions are not implemented by
-the TPU compiler.  Therefore:
-  * a persistent compilation cache makes re-runs fast;
-  * solver linear algebra uses our own jnp implementations
-    (mayamatchmovesolver_tpu/solver/linalg.py) that compile for f64;
-  * float64 is enabled for parity assertions (TPU emulates f64
-    arithmetic; only the library decompositions are missing).
+Tests run on the CPU backend with 8 virtual devices: correctness /
+parity tests do not need a real TPU, CPU compiles are local (no remote
+round-trip), and the 8-device mesh exercises the multi-chip sharding
+paths the same way the driver's dryrun does.
 
-On a normal host (e.g. the driver's dryrun with
---xla_force_host_platform_device_count=8 JAX_PLATFORMS=cpu) this
-conftest keeps the same behavior on the CPU backend.
+Notes on this sandbox: a sitecustomize registers an 'axon' remote-TPU
+backend at interpreter start and pins ``jax_platforms='axon,cpu'`` via
+jax.config — which overrides the ``JAX_PLATFORMS`` env var.  The
+jax.config.update below overrides it back to cpu.  Also, f64
+LU/QR/Cholesky decompositions are not implemented by the TPU compiler,
+so solver linear algebra uses our own jnp implementations
+(mayamatchmovesolver_tpu/solver/linalg.py) that compile everywhere;
+float64 is enabled for parity assertions.
 """
 
 import os
@@ -25,6 +25,10 @@ if "xla_force_host_platform_device_count" not in flags:
     ).strip()
 
 import jax  # noqa: E402
+
+# Must come after the sitecustomize's axon registration: force the CPU
+# backend regardless of what jax_platforms was pinned to.
+jax.config.update("jax_platforms", "cpu")
 
 jax.config.update("jax_enable_x64", True)
 # TPU matmuls default to reduced-precision passes; parity tests need the
