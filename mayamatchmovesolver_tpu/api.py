@@ -38,10 +38,87 @@ from mayamatchmovesolver_tpu.models import scenelens  # noqa: F401
 from mayamatchmovesolver_tpu.solver.solve import SolverOptions
 from mayamatchmovesolver_tpu.solver.strategies import (  # noqa: F401
     SolverBasic,
+    SolverCamera,
     SolverStandard,
     SolverStep,
+    SolverTriangulate,
 )
 from mayamatchmovesolver_tpu.solver import results as results_mod
+
+
+class Frame:
+    """A frame number plus tags (ref: python/mmSolver/_api/frame.py —
+    Frame(value, tags, primary, secondary)).  Solver classes accept
+    Frame objects anywhere they take frame indices."""
+
+    def __init__(self, value, tags=None, primary=False, secondary=False):
+        self.value = int(value)
+        self.tags = list(tags or [])
+        if primary and "primary" not in self.tags:
+            self.tags.append("primary")
+        if secondary and "secondary" not in self.tags:
+            self.tags.append("secondary")
+
+    def get_number(self):
+        return self.value
+
+    def get_tags(self):
+        return list(self.tags)
+
+    @property
+    def primary(self):
+        return "primary" in self.tags
+
+    @property
+    def secondary(self):
+        return "secondary" in self.tags
+
+    def __int__(self):
+        return self.value
+
+    def __repr__(self):
+        return "Frame(%d%s)" % (
+            self.value, ", tags=%r" % self.tags if self.tags else ""
+        )
+
+
+class Lens:
+    """OO wrapper over one lens layer of a camera
+    (ref: python/mmSolver/_api/lens.py — Lens nodes hold the 3DE model
+    parameters; here the layer's parameters are scene attributes,
+    solvable like any other).  Create layers with
+    scenelens.attach_lens / attach_lens_file, then wrap:
+
+        lens = mmapi.Lens(cam, layer_index=0)
+        col.add_attribute(lens.attr('distortion'))
+    """
+
+    def __init__(self, camera, layer_index=0):
+        layers = getattr(camera, "lens_layers", None)
+        if not layers:
+            raise ValueError("camera %r has no lens layers" % camera.name)
+        self.camera = camera
+        self.layer_index = int(layer_index)
+        self.model_type, self._attrs = layers[self.layer_index]
+
+    def attr(self, name) -> Attribute:
+        return self._attrs[name]
+
+    def get_attribute_list(self):
+        return list(self._attrs.values())
+
+    @property
+    def parameter_names(self):
+        return sorted(self._attrs)
+
+    @staticmethod
+    def layer_count(camera):
+        return len(getattr(camera, "lens_layers", []) or [])
+
+    def __repr__(self):
+        return "Lens(%s, layer=%d, model=%s)" % (
+            self.camera.name, self.layer_index, self.model_type
+        )
 
 
 @dataclasses.dataclass
@@ -57,6 +134,17 @@ class Collection:
     options: SolverOptions = dataclasses.field(
         default_factory=SolverOptions
     )
+    # Per-attribute soft-constraint weights, keyed by attr code
+    # (ref: the per-attr stiffness/smoothness values the reference
+    # stores as auxiliary attrs on the Collection node,
+    # _api/collection.py:680-754, compiled at compile.py:486-589).
+    stiffness_weights: dict = dataclasses.field(default_factory=dict)
+    stiffness_variances: dict = dataclasses.field(default_factory=dict)
+    smoothness_weights: dict = dataclasses.field(default_factory=dict)
+    smoothness_variances: dict = dataclasses.field(default_factory=dict)
+    # Line straightness constraints (ref: _api/line.py Line objects in
+    # the solve set; mmLineBestFit residuals).
+    lines: List[object] = dataclasses.field(default_factory=list)
 
     def add_marker(self, *markers):
         for m in markers:
@@ -74,6 +162,29 @@ class Collection:
         self.solver = solver
         return self
 
+    def add_line(self, *lines):
+        """Add Line straightness constraints (scene_graph.create_line)
+        to the solve (ref: Line objects in the reference's Collection,
+        _api/line.py + collection.py)."""
+        for ln in lines:
+            if ln not in self.lines:
+                self.lines.append(ln)
+        return self
+
+    def set_attribute_stiffness(self, attr, weight, variance=1.0):
+        """Pull `attr` toward its previous-frame value during solves
+        (ref: attrStiffness flag, compile.py:486-530)."""
+        self.stiffness_weights[attr.code] = float(weight)
+        self.stiffness_variances[attr.code] = float(variance)
+        return self
+
+    def set_attribute_smoothness(self, attr, weight, variance=1.0):
+        """Pull `attr` toward the linear prediction of its two previous
+        frames (ref: attrSmoothness flag, compile.py:531-589)."""
+        self.smoothness_weights[attr.code] = float(weight)
+        self.smoothness_variances[attr.code] = float(variance)
+        return self
+
     def get_marker_list(self):
         return list(self.markers)
 
@@ -86,14 +197,15 @@ def validate(collection: Collection):
     (ref: _execute/main.py:51 validate action twins +
     adjust_base.cpp:864-882 sizing checks).  Returns (ok, messages)."""
     messages = []
+    needs_attrs = getattr(collection.solver, "requires_attributes", True)
     if not collection.markers:
         messages.append("collection has no markers")
-    if not collection.attributes:
+    if not collection.attributes and needs_attrs:
         messages.append("collection has no attributes")
     if collection.solver is None:
         messages.append("collection has no solver")
     # errors >= parameters on at least the full frame set.
-    if collection.markers and collection.attributes:
+    if collection.markers and collection.attributes and needs_attrs:
         frames = getattr(collection.solver, "frame_indices", [0])
         n_frames = max(len(list(frames)), 1)
         num_errors = len(collection.markers) * n_frames * 2
@@ -142,10 +254,47 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
         for m in collection.markers:
             marker_mask[m.mkr_index] = True
 
+    # Per-attribute stiffness/smoothness soft constraints.
+    stiffness = None
+    if collection.stiffness_weights or collection.smoothness_weights:
+        import importlib
+
+        # (The solver package re-exports solve() under the module name.)
+        solve_mod = importlib.import_module(
+            "mayamatchmovesolver_tpu.solver.solve"
+        )
+
+        frames = list(
+            getattr(collection.solver, "frame_indices",
+                    range(collection.scene_graph.num_frames))
+        )
+        specs = []
+        if collection.stiffness_weights:
+            specs.append(solve_mod.build_stiffness(
+                attrs, collection.attributes, frames,
+                weight=collection.stiffness_weights,
+                variance=dict(collection.stiffness_variances),
+                mode="stiffness",
+            ))
+        if collection.smoothness_weights:
+            specs.append(solve_mod.build_stiffness(
+                attrs, collection.attributes, frames,
+                weight=collection.smoothness_weights,
+                variance=dict(collection.smoothness_variances),
+                mode="smoothness",
+            ))
+        stiffness = solve_mod.merge_stiffness(*specs)
+
+    lines = (
+        collection.scene_graph.line_spec(collection.lines)
+        if collection.lines else None
+    )
+
     solver = collection.solver
     return solver.execute(
         scene, attrs, collection.attributes, options,
-        lens=lens, marker_mask=marker_mask,
+        lens=lens, marker_mask=marker_mask, stiffness=stiffness,
+        lines=lines,
     )
 
 

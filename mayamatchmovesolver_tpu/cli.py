@@ -135,10 +135,24 @@ def _cmd_solve(args):
     )
     sg = SceneGraph(frame_range=(start, end))
     n = sg.num_frames
+    # Initial camera pose: zeros, or --camera JSON (the reference's
+    # mmSolver command reads the current scene state; the CLI takes an
+    # initial guess the same way, e.g. a previous solve's output).
+    init = {c: np.zeros(n) for c in ("tx", "ty", "tz", "rx", "ry", "rz")}
+    if getattr(args, "camera", None):
+        with open(args.camera) as f:
+            cam_data = json.load(f)
+        cam_block = cam_data.get("camera", cam_data)
+        for c in init:
+            if c in cam_block:
+                vals = np.atleast_1d(np.asarray(cam_block[c], float))
+                init[c] = np.broadcast_to(vals, (n,)) if vals.size in (
+                    1, n
+                ) else np.resize(vals, n)
     cam = sg.create_camera(
         "cam",
-        tx=np.zeros(n), ty=np.zeros(n), tz=np.zeros(n),
-        rx=np.zeros(n), ry=np.zeros(n), rz=np.zeros(n),
+        tx=init["tx"], ty=init["ty"], tz=init["tz"],
+        rx=init["rx"], ry=init["ry"], rz=init["rz"],
         focal_length_mm=args.focal_length,
         sensor_width_mm=args.film_back_width,
         sensor_height_mm=args.film_back_height,
@@ -213,6 +227,91 @@ def _cmd_lensdistort(args):
     return 0
 
 
+def _cmd_reproject(args):
+    """Batch 3D -> 2D reprojection (ref: the mmReprojection command,
+    src/mmSolver/cmd/MMReprojectionCmd.cpp — world points through a
+    camera to marker/normalized/pixel coords, batched over frames)."""
+    from mayamatchmovesolver_tpu.utils import reproject as reproject_mod
+
+    with open(args.camera) as f:
+        cam_data = json.load(f)
+    cam = cam_data.get("camera", cam_data)
+    frames = cam_data.get("frames")
+    channels = [np.atleast_1d(np.asarray(cam[c], np.float64))
+                for c in ("tx", "ty", "tz", "rx", "ry", "rz")]
+    n_frames = max(ch.shape[0] for ch in channels)
+    channels = [np.broadcast_to(ch, (n_frames,)) for ch in channels]
+    if frames is None:
+        frames = list(range(n_frames))
+
+    with open(args.points) as f:
+        pts_data = json.load(f)
+    if isinstance(pts_data, dict):
+        pts_data = pts_data.get("points", pts_data)
+        if isinstance(pts_data, dict):
+            pts_data = pts_data["positions"]
+    points = np.asarray(pts_data, np.float64)  # (P, 3)
+    if points.ndim != 2 or points.shape[1] != 3:
+        raise SystemExit("points must be a (P, 3) array")
+
+    world = np.asarray(reproject_mod.camera_world_matrix_from_trs(
+        *[c for c in channels]
+    ))  # (F, 4, 4)
+    xy = np.asarray(reproject_mod.reproject_points(
+        points[:, None, :], world[None],
+        focal_length_mm=args.focal_length,
+        film_back_width_mm=args.film_back_width,
+        film_back_height_mm=args.film_back_height,
+        render_width=args.image_width,
+        render_height=args.image_height,
+        as_pixels=args.space == "pixels",
+        as_normalized=args.space == "normalized",
+    ))  # (P, F, 2)
+    out = {
+        "frames": list(frames),
+        "space": args.space,
+        "points": xy.tolist(),
+    }
+    text = json.dumps(out, indent=1)
+    if args.output:
+        with open(args.output, "w") as f:
+            f.write(text)
+        print("wrote %s (%d points x %d frames)"
+              % (args.output, xy.shape[0], xy.shape[1]))
+    else:
+        print(text)
+    return 0
+
+
+def _cmd_image_info(args):
+    """Width/height/pixel query (ref: the mmReadImage command,
+    src/mmSolver/cmd/MMReadImageCmd.cpp:49)."""
+    from mayamatchmovesolver_tpu.io import image as image_mod
+
+    width, height = image_mod.image_size(args.path)
+    out = {"path": args.path, "width": width, "height": height}
+    if args.pixel is not None:
+        img, _ = image_mod.read_image(args.path)
+        x, y = args.pixel
+        if not (0 <= x < img.shape[1] and 0 <= y < img.shape[0]):
+            raise SystemExit("pixel (%d, %d) out of bounds" % (x, y))
+        out["pixel"] = [float(v) for v in img[y, x]]
+    print(json.dumps(out))
+    return 0
+
+
+def _cmd_image_convert(args):
+    """Resize + format conversion (ref: the mmConvertImage command,
+    src/mmSolver/cmd/MMConvertImageCmd.cpp:188)."""
+    from mayamatchmovesolver_tpu.io import image as image_mod
+
+    width, height = image_mod.convert_image(
+        args.input, args.output, scale=args.scale
+    )
+    print("wrote %s (%dx%d)" % (args.output, width, height))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="mmsolver-tpu",
@@ -240,6 +339,8 @@ def main(argv=None):
     p = sub.add_parser("solve", help="per-frame pose refinement solve")
     add_marker_args(p)
     p.add_argument("--iterations", type=int, default=20)
+    p.add_argument("--camera", default=None,
+                   help="initial camera JSON (tx..rz values/arrays)")
 
     p = sub.add_parser("lensdistort", help="write a lens ST-map EXR")
     p.add_argument("--model", default="tde_classic")
@@ -256,6 +357,34 @@ def main(argv=None):
     p.add_argument("--film-back-height", type=float, default=24.0)
     p.add_argument("--output", required=True)
 
+    p = sub.add_parser(
+        "reproject", help="batch 3D->2D reprojection through a camera"
+    )
+    p.add_argument("--camera", required=True,
+                   help="camera JSON (solve/camera-solve output)")
+    p.add_argument("--points", required=True,
+                   help="JSON (P, 3) array or camera-solve output")
+    p.add_argument("--space", choices=["marker", "normalized", "pixels"],
+                   default="marker")
+    p.add_argument("--image-width", type=int, default=1920)
+    p.add_argument("--image-height", type=int, default=1080)
+    p.add_argument("--focal-length", type=float, default=35.0)
+    p.add_argument("--film-back-width", type=float, default=36.0)
+    p.add_argument("--film-back-height", type=float, default=24.0)
+    p.add_argument("--output", default=None)
+
+    p = sub.add_parser("image-info",
+                       help="query image width/height/pixel")
+    p.add_argument("path")
+    p.add_argument("--pixel", type=int, nargs=2, default=None,
+                   metavar=("X", "Y"))
+
+    p = sub.add_parser("image-convert",
+                       help="convert/resize an image file")
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--scale", type=float, default=1.0)
+
     args = parser.parse_args(argv)
     if args.command == "formats":
         return _cmd_formats(args)
@@ -265,6 +394,12 @@ def main(argv=None):
         return _cmd_solve(args)
     if args.command == "lensdistort":
         return _cmd_lensdistort(args)
+    if args.command == "reproject":
+        return _cmd_reproject(args)
+    if args.command == "image-info":
+        return _cmd_image_info(args)
+    if args.command == "image-convert":
+        return _cmd_image_convert(args)
     parser.error("unknown command")
 
 

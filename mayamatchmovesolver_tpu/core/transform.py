@@ -63,6 +63,9 @@ def euler_to_rotation_matrix(rx_deg, ry_deg, rz_deg, rotate_order):
         rz_deg * DEGREES_TO_RADIANS,
     )
     perms = jnp.asarray(ROTATE_ORDER_PERMS)[rotate_order]  # (..., 3)
+    # A scalar rotate order with batched angles must broadcast up to the
+    # angle batch shape for take_along_axis.
+    perms = jnp.broadcast_to(perms, mats.shape[:-3] + (3,))
     first = jnp.take_along_axis(
         mats, perms[..., 0:1, None, None], axis=-3
     ).squeeze(-3)

@@ -30,6 +30,7 @@ COMPRESSION_ZIPS = 2
 COMPRESSION_ZIP = 3
 _LINES_PER_CHUNK = {
     COMPRESSION_NONE: 1,
+    COMPRESSION_RLE: 1,
     COMPRESSION_ZIPS: 1,
     COMPRESSION_ZIP: 16,
 }
@@ -111,10 +112,9 @@ def _parse_header(data):
     return header, pos
 
 
-def _zip_decode(raw, expected_size):
-    data = zlib.decompress(raw)
-    if len(data) != expected_size:
-        raise ExrError("bad chunk size after inflate")
+def _predictor_decode(data):
+    """Shared ZIP/RLE post-transform: predictor decode + de-interleave
+    (ImfZip.cpp / ImfRleCompressor.cpp apply the identical reorder)."""
     arr = np.frombuffer(data, np.uint8).astype(np.int64)
     # EXR 'predictor' decode: rec[i] = rec[i-1] + d[i] - 128 (mod 256)
     # == (cumsum(d - 128) + 128) mod 256  (ImfZip.cpp semantics).
@@ -128,17 +128,84 @@ def _zip_decode(raw, expected_size):
     return out.tobytes()
 
 
-def _zip_encode(raw):
+def _predictor_encode(raw):
     arr = np.frombuffer(raw, np.uint8)
-    n = len(arr)
-    half = (n + 1) // 2
+    half = (len(arr) + 1) // 2
+    del half
     # Interleave split.
     inter = np.concatenate([arr[0::2], arr[1::2]])
     # Delta encode with bias.
     delta = inter.astype(np.int16)
     delta[1:] = (delta[1:] - inter[:-1].astype(np.int16)) + 128
-    enc = (delta % 256).astype(np.uint8).tobytes()
-    return zlib.compress(enc, 6)
+    return (delta % 256).astype(np.uint8).tobytes()
+
+
+def _zip_decode(raw, expected_size):
+    data = zlib.decompress(raw)
+    if len(data) != expected_size:
+        raise ExrError("bad chunk size after inflate")
+    return _predictor_decode(data)
+
+
+def _zip_encode(raw):
+    return zlib.compress(_predictor_encode(raw), 6)
+
+
+def _rle_uncompress(raw, expected_size):
+    """EXR RLE record stream -> raw bytes (ImfRle.cpp rleUncompress):
+    a signed count byte per record — negative = that many literal
+    bytes follow; non-negative = repeat the next byte count+1 times."""
+    out = bytearray()
+    i = 0
+    n = len(raw)
+    while i < n and len(out) < expected_size:
+        count = raw[i]
+        i += 1
+        if count > 127:  # signed negative: literal run
+            count = 256 - count
+            out += raw[i:i + count]
+            i += count
+        else:
+            out += raw[i:i + 1] * (count + 1)
+            i += 1
+    if len(out) != expected_size:
+        raise ExrError("bad RLE chunk")
+    return bytes(out)
+
+
+def _rle_decode(raw, expected_size):
+    return _predictor_decode(_rle_uncompress(raw, expected_size))
+
+
+def _rle_encode(raw):
+    """Predictor transform + RLE record stream (ImfRle.cpp rleCompress:
+    runs of >= 3 become run records; literal stretches cap at 127)."""
+    data = _predictor_encode(raw)
+    out = bytearray()
+    i = 0
+    n = len(data)
+    while i < n:
+        # Measure the run starting at i (cap at 128 repeats).
+        j = i
+        while j + 1 < n and data[j + 1] == data[i] and j - i < 127:
+            j += 1
+        run = j - i + 1
+        if run >= 3:
+            out.append(run - 1)
+            out.append(data[i])
+            i = j + 1
+            continue
+        # Literal stretch until a run of >= 3 starts (cap at 127).
+        start = i
+        while i < n and i - start < 127:
+            if (i + 2 < n and data[i] == data[i + 1]
+                    and data[i] == data[i + 2]):
+                break
+            i += 1
+        count = i - start
+        out.append(256 - count)
+        out += data[start:i]
+    return bytes(out)
 
 
 def read_pixels(file_path):
@@ -173,9 +240,11 @@ def read_pixels(file_path):
         raw = data[off + 8: off + 8 + size]
         n_lines = min(lines_per_chunk, ymax - y + 1)
         expected = bytes_per_line * n_lines
-        if compression in (COMPRESSION_ZIP, COMPRESSION_ZIPS):
-            if size < expected:
+        if size < expected:
+            if compression in (COMPRESSION_ZIP, COMPRESSION_ZIPS):
                 raw = _zip_decode(raw, expected)
+            elif compression == COMPRESSION_RLE:
+                raw = _rle_decode(raw, expected)
         if len(raw) != expected:
             raise ExrError("bad chunk size")
         buf = np.frombuffer(raw, np.uint8)
@@ -262,9 +331,11 @@ def write_pixels(file_path, image, compression=COMPRESSION_ZIP,
         raw = b"".join(rows)
         if compression in (COMPRESSION_ZIP, COMPRESSION_ZIPS):
             packed = _zip_encode(raw)
-            if len(packed) >= len(raw):
-                packed = raw
+        elif compression == COMPRESSION_RLE:
+            packed = _rle_encode(raw)
         else:
+            packed = raw
+        if len(packed) >= len(raw):
             packed = raw
         chunks.append((y, packed))
         y += n_lines

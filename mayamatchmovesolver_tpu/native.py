@@ -57,6 +57,9 @@ def load(auto_build=True):
         ctypes.POINTER(ctypes.c_float),
     ]
     lib.mmtpu_stmap_radial_deg4.argtypes = lib.mmtpu_stmap_classic.argtypes
+    lib.mmtpu_stmap_anamorphic_deg4.argtypes = (
+        lib.mmtpu_stmap_classic.argtypes
+    )
     lib.mmtpu_exr_write_rgba.argtypes = [
         ctypes.c_char_p,
         ctypes.POINTER(ctypes.c_float),
@@ -107,6 +110,34 @@ def stmap_radial_deg4(lens_params, camera_params, width, height,
     lens_arr, lens_ptr = _as_double_ptr(lens_params)
     cam_arr, cam_ptr = _as_double_ptr(camera_params)
     lib.mmtpu_stmap_radial_deg4(
+        lens_ptr, cam_ptr, width, height,
+        1 if direction == "distort" else 0, n_threads,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return out
+
+
+def stmap_anamorphic_deg4(lens_params, camera_params, width, height,
+                          direction="distort", n_threads=0):
+    """Native anamorphic-deg4 ST map -> (H, W, 4) float32.
+
+    lens_params: the 13 Parameters3deAnamorphicStdDeg4 values (cx02,
+    cy02, cx22, cy22, cx04, cy04, cx24, cy24, cx44, cy44, rotation_deg,
+    squeeze_x, squeeze_y) plus an optional trailing rescale (the
+    Rescaled variant; defaults to 1).
+    """
+    lib = load()
+    if lib is None:
+        raise RuntimeError("native library unavailable: %r" % _load_error)
+    lens_params = list(lens_params)
+    if len(lens_params) == 13:
+        lens_params.append(1.0)
+    if len(lens_params) != 14:
+        raise ValueError("expected 13 or 14 lens parameters")
+    out = np.empty((height, width, 4), np.float32)
+    lens_arr, lens_ptr = _as_double_ptr(lens_params)
+    cam_arr, cam_ptr = _as_double_ptr(camera_params)
+    lib.mmtpu_stmap_anamorphic_deg4(
         lens_ptr, cam_ptr, width, height,
         1 if direction == "distort" else 0, n_threads,
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),

@@ -322,7 +322,16 @@ def stmap_classic_pallas(model: tde.TdeClassic,
 
 def stmap(model, film_back, width, height, direction="distort",
           use_pallas=True):
-    """Dispatch: Pallas fast path for supported models, XLA otherwise."""
+    """Dispatch: Pallas fast path for supported models, XLA otherwise.
+
+    `model` may be a sequence of models — a lens-layer stack chained
+    like the reference's m_inputLensModel list
+    (ref: lib/cppbind/mmlens/src/distortion_layers.rs:255); see
+    stmap_stack."""
+    # Lens models are NamedTuples; only a plain list/tuple is a stack.
+    if isinstance(model, (list, tuple)) and not hasattr(model, "_fields"):
+        return stmap_stack(model, film_back, width, height, direction,
+                           use_pallas=use_pallas)
     if use_pallas and not isinstance(model, tde.Passthrough):
         try:
             return stmap_pallas(
@@ -331,3 +340,34 @@ def stmap(model, film_back, width, height, direction="distort",
         except Exception:  # pragma: no cover - fallback on any lowering gap
             pass
     return stmap_xla(model, film_back, width, height, direction)
+
+
+def stmap_stack(models, film_back, width, height, direction="distort",
+                use_pallas=True):
+    """ST map for a multi-layer lens stack.
+
+    The first layer runs through the normal single-layer path (Pallas
+    when supported); each subsequent layer is applied point-wise to the
+    previous layer's output coordinates — one fused XLA map over the
+    (H, W) coordinate planes, which is how the chained evaluation
+    vectorizes on TPU (the reference chains per-point virtual calls,
+    lens_model.h:36-120).
+    """
+    models = list(models)
+    if not models:
+        return stmap(tde.Passthrough(), film_back, width, height,
+                     direction, use_pallas=use_pallas)
+    if direction != "distort":
+        models = models[::-1]
+    out = stmap(models[0], film_back, width, height, direction,
+                use_pallas=use_pallas)
+    for model in models[1:]:
+        pts_marker = out[..., :2].astype(jnp.result_type(float)) - 0.5
+        if direction == "distort":
+            mapped = tde.distort(model, film_back, pts_marker)
+        else:
+            mapped = tde.undistort(model, film_back, pts_marker)
+        out = jnp.concatenate(
+            [(mapped + 0.5).astype(jnp.float32), out[..., 2:]], axis=-1
+        )
+    return out

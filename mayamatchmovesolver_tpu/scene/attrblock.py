@@ -97,6 +97,32 @@ def gather_attr_values_static(attrs: AttrBlock, codes, frame_index=0):
     )[..., 0]
 
 
+def set_attr_values(attrs: AttrBlock, code, values, frame_indices=None):
+    """Write values into one attribute, returning a new AttrBlock.
+
+    Host-side helper (the write-back half of the reference's
+    set_maya_attribute_values, adjust_base.cpp:297-342): a static code
+    takes a scalar; an animated code takes per-frame values at
+    `frame_indices` (all frames when None).
+    """
+    import jax.numpy as jnp
+
+    code = int(code)
+    if code < 0:
+        raise ValueError("cannot write ATTR_NONE")
+    idx = code_index(code)
+    if is_static_code(code):
+        static = np.array(attrs.static_values)
+        static[idx] = float(np.asarray(values).reshape(-1)[0])
+        return attrs._replace(static_values=jnp.asarray(static))
+    anim = np.array(attrs.anim_values)
+    if frame_indices is None:
+        anim[idx, :] = np.asarray(values)
+    else:
+        anim[idx, np.asarray(frame_indices)] = np.asarray(values)
+    return attrs._replace(anim_values=jnp.asarray(anim))
+
+
 class AttrBlockBuilder:
     """Host-side builder accumulating attributes before baking to arrays."""
 

@@ -114,6 +114,22 @@ class MarkerGroupNode(_Node):
         self.camera = camera
 
 
+class LineNode(_Node):
+    """A straightness constraint over a set of markers — the capability
+    of the reference's Line API objects + mmLineBestFit node feeding the
+    solve (ref: python/mmSolver/_api/line.py,
+    src/mmSolver/node/MMLineBestFitNode.cpp:94).  Member markers'
+    reprojected bundles are softly constrained to be collinear in
+    screen space."""
+
+    kind = "line"
+
+    def __init__(self, graph, name, markers, weight):
+        super().__init__(graph, name)
+        self.markers = list(markers)
+        self.weight = float(weight)
+
+
 class MarkerNode(_Node):
     kind = "marker"
 
@@ -164,6 +180,7 @@ class SceneGraph:
         self._cameras = []
         self._bundles = []
         self._markers = []
+        self._lines = []
         self._names = set()
 
     @property
@@ -254,6 +271,41 @@ class SceneGraph:
             node.attrs["overscan_x"] = group.attr("overscan_x")
             node.attrs["overscan_y"] = group.attr("overscan_y")
         return node
+
+    def create_line(self, name, markers, weight=1.0):
+        """Create a Line over >= 2 markers (straightness constraint)."""
+        self._check_name(name)
+        markers = list(markers)
+        if len(markers) < 2:
+            raise ValueError("a line needs at least 2 markers")
+        for m in markers:
+            if m.mkr_index is None:
+                raise ValueError("line members must be MarkerNodes")
+        node = LineNode(self, name, markers, weight)
+        self._lines.append(node)
+        return node
+
+    def line_spec(self, lines=None):
+        """Padded line arrays for the solver (build_problem lines=).
+
+        lines: LineNodes to include (default: all created lines).
+        Returns dict(mkr_index (L, K), mkr_mask (L, K), weight (L,)).
+        """
+        if lines is None:
+            lines = self._lines
+        if not lines:
+            return None
+        k = max(len(ln.markers) for ln in lines)
+        mkr_index = np.zeros((len(lines), k), np.int32)
+        mkr_mask = np.zeros((len(lines), k), bool)
+        weight = np.zeros(len(lines))
+        for li, ln in enumerate(lines):
+            for mi, m in enumerate(ln.markers):
+                mkr_index[li, mi] = m.mkr_index
+                mkr_mask[li, mi] = True
+            weight[li] = ln.weight
+        return dict(mkr_index=mkr_index, mkr_mask=mkr_mask,
+                    weight=weight)
 
     def bake(self, dtype=None):
         """Flatten to (FlatScene, AttrBlock)."""

@@ -62,18 +62,90 @@ def connected_frame_scores(enable_mask):
 def best_frame_pair(enable_mask, min_separation=5):
     """Pick the pair of frames sharing the most markers with at least
     min_separation frames between them (baseline heuristic like the
-    reference's start/end-frame choice)."""
-    enable = np.asarray(enable_mask) > 0.5
+    reference's start/end-frame choice).  Vectorized: the full F x F
+    co-visibility matrix is one matmul, fine at 1000+ frames."""
+    enable = (np.asarray(enable_mask) > 0.5).astype(np.float64)
     num_frames = enable.shape[1]
-    best = (0, min(num_frames - 1, min_separation))
-    best_score = -1
-    for a in range(num_frames):
-        for b in range(a + min_separation, num_frames):
-            score = int(np.sum(enable[:, a] & enable[:, b]))
-            if score > best_score:
-                best_score = score
-                best = (a, b)
-    return best
+    shared = enable.T @ enable  # (F, F) co-visible marker counts
+    sep = np.abs(np.arange(num_frames)[:, None] - np.arange(num_frames))
+    shared = np.where(
+        (sep >= min_separation) & (np.arange(num_frames)[:, None]
+                                   < np.arange(num_frames)),
+        shared, -1.0,
+    )
+    flat = int(np.argmax(shared))
+    a, b = divmod(flat, num_frames)
+    if shared[a, b] < 0:
+        return (0, min(num_frames - 1, min_separation))
+    return (int(a), int(b))
+
+
+def triangulate_multiview(cam_r, cam_t, bearings, weights):
+    """DLT triangulation of every marker from ALL solved frames at once.
+
+    cam_r: (F, 3, 3) camera-from-world rotations, cam_t: (F, 3),
+    bearings: (M, F, 2) normalized CV coords, weights: (M, F)
+    observation weights (zero = unseen/unsolved).  Returns (M, 3) CV
+    world points.  This is the per-bundle refinement the reference runs
+    as _triangulate_bundles (ref: solvercamerautils.py:690) — here each
+    bundle sees every camera simultaneously instead of a pair.
+    """
+    from mayamatchmovesolver_tpu.solver import linalg
+
+    p1 = jnp.concatenate([cam_r[:, 0, :], cam_t[:, 0:1]], axis=-1)
+    p2 = jnp.concatenate([cam_r[:, 1, :], cam_t[:, 1:2]], axis=-1)
+    p3 = jnp.concatenate([cam_r[:, 2, :], cam_t[:, 2:3]], axis=-1)
+    u = bearings[..., 0:1]
+    v = bearings[..., 1:2]
+    ra = u * p3[None] - p1[None]  # (M, F, 4)
+    rb = v * p3[None] - p2[None]
+    w = weights[..., None]
+    rows = jnp.concatenate([ra * w, rb * w], axis=1)  # (M, 2F, 4)
+    ata = jnp.einsum("mfi,mfj->mij", rows, rows)
+    x = linalg.smallest_eigenvector(ata)
+    denom = jnp.where(jnp.abs(x[..., 3:]) < 1e-12, 1e-12, x[..., 3:])
+    return x[..., :3] / denom
+
+
+def reprojection_errors_cv(cam_r, cam_t, points3d, bearings):
+    """Per-(marker, frame) bearing-space reprojection error + depth.
+
+    Returns (error (M, F), depth (M, F)); depth <= 0 means behind the
+    camera (CV convention: z forward)."""
+    pc = (
+        jnp.einsum("fij,mj->mfi", cam_r, points3d) + cam_t[None]
+    )  # (M, F, 3)
+    depth = pc[..., 2]
+    proj = pc[..., :2] / jnp.where(
+        jnp.abs(depth[..., None]) < 1e-12, 1e-12, depth[..., None]
+    )
+    err = jnp.linalg.norm(proj - bearings, axis=-1)
+    return err, depth
+
+
+def filter_bad_bundles(
+    cam_r, cam_t, points3d, bearings, enable, solved, valid,
+    focal_length_mm=35.0, film_back_width_mm=36.0,
+    image_width=1920.0, max_error_px=9.0,
+):
+    """Invalidate bundles with high reprojection error or observations
+    behind the camera (ref: the bad-bundle filtering of camera_solve,
+    solvercamerautils.py:182-227 — reprojection-error and
+    behind-camera culls).  Returns the updated valid mask."""
+    err, depth = reprojection_errors_cv(
+        jnp.asarray(cam_r), jnp.asarray(cam_t), jnp.asarray(points3d),
+        jnp.asarray(bearings),
+    )
+    err = np.asarray(err)
+    depth = np.asarray(depth)
+    obs = np.asarray(enable, bool) & np.asarray(solved, bool)[None, :]
+    # bearing error -> pixels: marker_x = u * focal/fbw; px = marker*W.
+    err_px = err * (focal_length_mm / film_back_width_mm) * image_width
+    n_obs = np.maximum(obs.sum(axis=1), 1)
+    mean_err = np.where(obs, err_px, 0.0).sum(axis=1) / n_obs
+    behind = np.any(obs & (depth <= 0.0), axis=1)
+    ok = (mean_err <= max_error_px) & ~behind & (obs.sum(axis=1) >= 2)
+    return np.asarray(valid, bool) & ok
 
 
 def camera_solve(
@@ -85,6 +157,9 @@ def camera_solve(
     render_aspect=None,
     key=None,
     min_pair_separation=5,
+    refine_rounds=2,
+    image_width=1920.0,
+    max_bundle_error_px=9.0,
 ) -> CameraSolveResult:
     """Incremental SfM over all frames; returns per-frame poses and
     triangulated points in an arbitrary (origin-normalized) scale.
@@ -184,6 +259,56 @@ def camera_solve(
             pts3d[new] = tri[new]
             valid[new] = True
 
+    # Refinement rounds (ref: the reference iterates relative poses,
+    # per-bundle adjusts, filters bad bundles and triangulates more,
+    # solvercamerautils.py:574-726): multi-view retriangulation of every
+    # marker seen from >= 2 solved frames, bad-bundle culling, then
+    # re-resection of all frames (including previously unsolvable ones)
+    # from the improved structure.
+    tri_mv = jax.jit(triangulate_multiview)
+    for _ in range(max(int(refine_rounds), 0)):
+        obs = enable & solved[None, :]  # (M, F)
+        seen2 = obs.sum(axis=1) >= 2
+        if not seen2.any():
+            break
+        w = (obs & seen2[:, None]).astype(np.float64)
+        tri = np.asarray(
+            tri_mv(
+                jnp.asarray(cam_r), jnp.asarray(cam_t),
+                jnp.asarray(bearings), jnp.asarray(w),
+            )
+        )
+        pts3d[seen2] = tri[seen2]
+        valid = valid | seen2
+        valid = filter_bad_bundles(
+            cam_r, cam_t, pts3d, bearings, enable, solved, valid,
+            focal_length_mm=focal_length_mm,
+            film_back_width_mm=film_back_width_mm,
+            image_width=image_width,
+            max_error_px=max_bundle_error_px,
+        )
+        if valid.sum() < 6:
+            # Over-aggressive cull (e.g. very noisy input): keep the
+            # pre-cull structure rather than collapse the solve.
+            valid = valid | seen2
+        # Re-resect every frame from the refined, filtered structure —
+        # one vmapped resection over the frame axis.
+        seen_f = enable & valid[:, None]  # (M, F)
+        resectable = seen_f.sum(axis=0) >= 6
+        rs, ts = jax.vmap(
+            lambda b_col, w_col: twoview.resection_pose(
+                jnp.asarray(pts3d), b_col, weights=w_col
+            )
+        )(
+            jnp.asarray(np.transpose(bearings, (1, 0, 2))),
+            jnp.asarray(seen_f.T, dtype=np.float64),
+        )
+        rs = np.asarray(rs)
+        ts = np.asarray(ts)
+        cam_r[resectable] = rs[resectable]
+        cam_t[resectable] = ts[resectable]
+        solved = solved | resectable
+
     # Convert from the CV frame back to the Maya camera convention.
     # With S = diag(1,-1,-1) mapping CV camera axes (y down, z forward)
     # to Maya camera axes (y up, z backward):
@@ -238,7 +363,8 @@ def refine_with_bundle_adjustment(
     # Camera params: tx ty tz rx ry rz from the recovered poses.
     eulers = np.asarray(
         matrix_to_euler(
-            jnp.asarray(result.rotations), jnp.zeros((), jnp.int32)
+            jnp.asarray(result.rotations),
+            jnp.zeros(result.rotations.shape[0], jnp.int32),
         )
     )
     cam_params = np.concatenate([result.positions, eulers], axis=-1)
@@ -286,6 +412,84 @@ def refine_with_bundle_adjustment(
         frame_solved=result.frame_solved,
     )
     return refined, ba_result
+
+
+def camera_solve_full(
+    marker_xy,
+    enable_mask,
+    focal_length_mm=35.0,
+    film_back_width_mm=36.0,
+    film_back_height_mm=24.0,
+    render_aspect=None,
+    image_width=1920.0,
+    solve_focal=False,
+    key=None,
+    min_pair_separation=5,
+    refine_rounds=2,
+    max_bundle_error_px=9.0,
+    ba_iterations=50,
+    origin_frame=0,
+    scene_scale=1.0,
+):
+    """The complete from-scratch camera solve: incremental SfM,
+    bad-bundle filtering, global bundle adjustment (optionally solving
+    focal length), and origin-frame normalization — the counterpart of
+    the reference's camera_solve driver
+    (ref: python/mmSolver/_api/solvercamerautils.py:958-1290).
+
+    Returns (CameraSolveResult, BAResult, solved_focal_length_mm).
+
+    Focal solving (ref: the focal attrs passed into _bundle_adjust,
+    solvercamerautils.py:380-520): per-frame focal parameters are freed
+    in a first BA pass, consolidated to their median (matchmove shots
+    have one physical lens), then a fixed-focal BA polishes poses and
+    structure at the consolidated value.
+    """
+    result = camera_solve(
+        marker_xy, enable_mask,
+        focal_length_mm=focal_length_mm,
+        film_back_width_mm=film_back_width_mm,
+        film_back_height_mm=film_back_height_mm,
+        render_aspect=render_aspect,
+        key=key,
+        min_pair_separation=min_pair_separation,
+        refine_rounds=refine_rounds,
+        image_width=image_width,
+        max_bundle_error_px=max_bundle_error_px,
+    )
+    focal = float(focal_length_mm)
+    if solve_focal:
+        refined, ba_result = refine_with_bundle_adjustment(
+            result, marker_xy, enable_mask,
+            focal_length_mm=focal,
+            film_back_width_mm=film_back_width_mm,
+            film_back_height_mm=film_back_height_mm,
+            render_aspect=render_aspect,
+            image_width=image_width,
+            max_iterations=ba_iterations,
+            solve_focal=True,
+        )
+        per_frame_focal = np.asarray(ba_result.cam_params)[:, 6]
+        weights = np.asarray(result.frame_solved, float)
+        if weights.sum() > 0:
+            focal = float(
+                np.median(per_frame_focal[result.frame_solved])
+            )
+        result = refined
+    refined, ba_result = refine_with_bundle_adjustment(
+        result, marker_xy, enable_mask,
+        focal_length_mm=focal,
+        film_back_width_mm=film_back_width_mm,
+        film_back_height_mm=film_back_height_mm,
+        render_aspect=render_aspect,
+        image_width=image_width,
+        max_iterations=ba_iterations,
+        solve_focal=False,
+    )
+    refined = set_origin_frame(
+        refined, origin_frame=origin_frame, scene_scale=scene_scale
+    )
+    return refined, ba_result, focal
 
 
 def set_origin_frame(result: CameraSolveResult, origin_frame=0,

@@ -44,9 +44,15 @@ def focal_length_from_two_vanishing_points(vp_a, vp_b, principal_point):
     proj = jnp.sum(d_dir * p_vpb, axis=-1)
     puv = proj[..., None] * d_dir + vp_b
     pp_uv = jnp.linalg.norm(principal_point - puv, axis=-1)
-    vpb_puv = jnp.linalg.norm(vp_b - puv, axis=-1)
-    vpa_puv = jnp.linalg.norm(vp_a - puv, axis=-1)
-    focal_sq = vpb_puv * vpa_puv - pp_uv * pp_uv
+    # Signed distances along the line: for a valid configuration the
+    # foot Puv lies BETWEEN the vanishing points, so the signed product
+    # is negative and -product equals the reference's unsigned
+    # |vpA-Puv|*|vpB-Puv| (calibrate_common.cpp:126-136); when both VPs
+    # fall on the same side the signed form correctly yields
+    # focal^2 < 0 where the unsigned form would not.
+    ta = jnp.sum((vp_a - puv) * d_dir, axis=-1)
+    tb = jnp.sum((vp_b - puv) * d_dir, axis=-1)
+    focal_sq = -(ta * tb) - pp_uv * pp_uv
     ok = focal_sq > 0
     return jnp.sqrt(jnp.maximum(focal_sq, 1e-12)), ok
 

@@ -24,11 +24,23 @@ def cholesky(a):
     n = a.shape[-1]
     idx = jnp.arange(n)
 
+    # Modified-Cholesky pivot floor, RELATIVE to the original diagonal:
+    # when cond(A) exceeds 1/eps(dtype) the exact pivot underflows (or
+    # goes negative from rounding) and the factorization would emit
+    # inf/NaN.  Flooring at eps * a_jj regularizes only the numerically
+    # invisible subspace — inert in f64 for the solver's conditioning,
+    # load-bearing in f32 on TPU (e.g. the per-frame focal<->tz
+    # near-degeneracy of BA with solve_focal).
+    eps = jnp.asarray(jnp.finfo(a.dtype).eps, a.dtype)
+    tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
+    diag0 = jnp.diagonal(a, axis1=-2, axis2=-1)
+    pivot_floor = jnp.maximum(eps * jnp.abs(diag0), tiny)  # (..., n)
+
     def body(j, l):
         # Column j: d = a[j,j] - sum_k<j l[j,k]^2
         row_j = jnp.where(idx < j, l[..., j, :], 0.0)
         d = l[..., j, j] - jnp.sum(row_j * row_j, axis=-1)
-        d = jnp.sqrt(jnp.maximum(d, 1e-300))
+        d = jnp.sqrt(jnp.maximum(d, pivot_floor[..., j]))
         # Below-diagonal entries of column j.
         lower = jnp.where(idx < j, l, 0.0 * l)
         s = jnp.einsum("...ik,...k->...i", lower, row_j)
@@ -91,8 +103,21 @@ def cholesky_solve(a, b):
 
 
 def solve_spd(a, b):
-    """Entry point the LM core uses; alias kept for future Pallas swap."""
-    return cholesky_solve(a, b)
+    """SPD solve with Jacobi (diagonal) equilibration.
+
+    The normal equations mix parameter units (mm, degrees, world
+    units); scaling to unit diagonal keeps the Cholesky well
+    conditioned in f32 on TPU — the identity transform in exact
+    arithmetic, so f64 parity is unaffected.
+    """
+    diag = jnp.diagonal(a, axis1=-2, axis2=-1)
+    tiny = jnp.asarray(jnp.finfo(a.dtype).tiny, a.dtype)
+    d = 1.0 / jnp.sqrt(jnp.maximum(diag, tiny))
+    a_s = a * d[..., :, None] * d[..., None, :]
+    vector = b.ndim == a.ndim - 1
+    b_s = b * d if vector else b * d[..., :, None]
+    x_s = cholesky_solve(a_s, b_s)
+    return x_s * d if vector else x_s * d[..., :, None]
 
 
 def jacobi_eigh(a, sweeps=16):

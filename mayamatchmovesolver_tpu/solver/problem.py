@@ -55,12 +55,32 @@ class SolveProblem:
 
     # Stiffness/smoothness soft constraints
     # (ref: adjust_measureErrors.cpp:311-387).  Each entry penalizes an
-    # attribute cell's deviation from a target value.
+    # attribute cell's deviation from a target value.  Targets are LIVE:
+    # mode 1 (stiffness) gathers the previous frame's value from the
+    # *current* attribute state each evaluation, mode 2 (smoothness) the
+    # linear prediction from the two previous frames — exactly like the
+    # reference, which re-reads the neighboring-frame attr values inside
+    # measureErrors with the candidate parameters applied.  mode 0 uses
+    # the fixed stiff_target.
     stiff_codes: jax.Array  # (K,) int32 attr codes
     stiff_frames: jax.Array  # (K,) int32 baked frame index (-1 static)
+    stiff_prev_frames: jax.Array  # (K,) int32 previous-frame index
+    stiff_prev2_frames: jax.Array  # (K,) int32 frame-before-previous
+    stiff_mode: jax.Array  # (K,) int32: 0 fixed, 1 stiffness, 2 smooth
     stiff_weight: jax.Array  # (K,)
     stiff_variance: jax.Array  # (K,)
-    stiff_target: jax.Array  # (K,)
+    stiff_target: jax.Array  # (K,) fixed targets (mode 0 only)
+
+    # Line straightness constraints (the reference's Line entities +
+    # mmLineBestFit capability contributing to the solve; ref:
+    # src/mmSolver/node/MMLineBestFitNode.cpp:94, node_line_utils.cpp,
+    # python/mmSolver/_api/line.py): each line is a padded set of
+    # marker indices whose reprojected bundles must be collinear in
+    # screen space.  Residual = perpendicular deviation from the
+    # closed-form TLS line fit, per (line-member, frame).
+    line_mkr_index: jax.Array  # (L, K) int32, padded
+    line_mkr_mask: jax.Array  # (L, K) bool, False on padding
+    line_weight: jax.Array  # (L,)
 
     # Marker-frame error enablement beyond marker enable/weight: the
     # reference's errorMeasurements / frameIndexEnable culling
@@ -92,6 +112,14 @@ class SolveProblem:
     def num_marker_errors(self):
         return (
             self.scene.num_markers * self.num_frames * ERRORS_PER_MARKER
+        )
+
+    @property
+    def num_line_errors(self):
+        return (
+            self.line_mkr_index.shape[0]
+            * self.line_mkr_index.shape[1]
+            * self.num_frames
         )
 
 
@@ -203,10 +231,14 @@ def measure_residuals(problem: SolveProblem, attrs: AttrBlock,
 
     # Deviation stats exclude weight/loss, include behind-factor
     # (ref: adjust_measureErrors.cpp:285-292, errorDistanceList).
+    # Non-finite deviations are excluded like the reference skips
+    # non-finite errors (ref: adjust_base.cpp:356-360).
     dist = (
         jnp.linalg.norm(ev.marker_xy - point_xy, axis=-1)
         * problem.image_width
     )
+    mask = mask & jnp.isfinite(dist)
+    dist = jnp.where(jnp.isfinite(dist), dist, 0.0)
     n_measured = jnp.maximum(jnp.sum(mask), 1)
     masked_dist = jnp.where(mask, dist, 0.0)
     error_avg = jnp.sum(masked_dist) / n_measured
@@ -214,14 +246,70 @@ def measure_residuals(problem: SolveProblem, attrs: AttrBlock,
     error_min = jnp.min(jnp.where(mask, dist, jnp.inf))
 
     # Stiffness/smoothness: err = (1/gaussian(x, target, var) - 1) * w
-    # (ref: adjust_measureErrors.cpp:311-387).
+    # (ref: adjust_measureErrors.cpp:311-387).  Live targets: prev-frame
+    # values come from the candidate `attrs`, so the soft constraint
+    # tracks the solve instead of going stale (the reference evaluates
+    # stiffAttr/smoothAttr values with current parameters applied).
     x = _gather_cell_values(attrs, problem.stiff_codes, problem.stiff_frames)
-    z = (x - problem.stiff_target) ** 2 / (
+    prev = _gather_cell_values(
+        attrs, problem.stiff_codes, problem.stiff_prev_frames
+    )
+    prev2 = _gather_cell_values(
+        attrs, problem.stiff_codes, problem.stiff_prev2_frames
+    )
+    target = jnp.where(
+        problem.stiff_mode == 1,
+        prev,
+        jnp.where(
+            problem.stiff_mode == 2,
+            2.0 * prev - prev2,
+            problem.stiff_target,
+        ),
+    )
+    z = (x - target) ** 2 / (
         2.0 * problem.stiff_variance**2
     )
     soft = (jnp.exp(z) - 1.0) * problem.stiff_weight
 
-    residuals = jnp.concatenate([marker_residuals, soft])
+    # Line straightness: perpendicular deviation of each member's
+    # reprojected bundle from the weighted TLS line fit of its group,
+    # per frame (capability of mmLineBestFit as a live residual;
+    # ref: MMLineBestFitNode.cpp:94, math/line.rs fit_line_to_points).
+    if problem.line_mkr_index.shape[0]:
+        li = problem.line_mkr_index  # (L, K)
+        pts = point_xy[li]  # (L, K, F, 2)
+        # A member participates when it is real (not padding) and its
+        # marker is enabled on that frame.  The collection's
+        # marker_frame_mask governs reprojection errors only — a line
+        # added to the solve keeps all its enabled members.
+        member = (
+            problem.line_mkr_mask[:, :, None]
+            & (ev.marker_enable > 0.5)[li]
+        )  # (L, K, F)
+        wf = member.astype(pts.dtype)
+        n = jnp.maximum(jnp.sum(wf, axis=1), 1.0)  # (L, F)
+        mean = jnp.sum(pts * wf[..., None], axis=1) / n[..., None]
+        d = (pts - mean[:, None]) * wf[..., None]  # (L, K, F, 2)
+        sxx = jnp.sum(d[..., 0] ** 2, axis=1)
+        syy = jnp.sum(d[..., 1] ** 2, axis=1)
+        sxy = jnp.sum(d[..., 0] * d[..., 1], axis=1)
+        theta = 0.5 * jnp.arctan2(2.0 * sxy, sxx - syy)  # (L, F)
+        normal_x = -jnp.sin(theta)
+        normal_y = jnp.cos(theta)
+        perp = (
+            d[..., 0] * normal_x[:, None] + d[..., 1] * normal_y[:, None]
+        )  # (L, K, F)
+        line_res = (
+            perp
+            * problem.line_weight[:, None, None]
+            * problem.image_width
+        )
+        line_res = jnp.where(jnp.isfinite(line_res), line_res, 0.0)
+        line_residuals = line_res.reshape(-1)
+    else:
+        line_residuals = jnp.zeros(0, marker_residuals.dtype)
+
+    residuals = jnp.concatenate([marker_residuals, line_residuals, soft])
     if apply_loss:
         residuals = loss_mod.apply_loss_to_residuals(
             residuals, problem.loss_type, problem.loss_scale

@@ -65,6 +65,14 @@ class SolverResult:
         default_factory=dict
     )
     solved_parameters: Optional[object] = None
+    # Per-frame solve mode extras (ref: the per-frame loop's per-frame
+    # success/revert bookkeeping, adjust_base.cpp:1430-1484).
+    per_frame_stop_reason: List[int] = dataclasses.field(
+        default_factory=list
+    )
+    per_frame_reverted: List[bool] = dataclasses.field(
+        default_factory=list
+    )
 
     @property
     def evals_per_second(self):

@@ -22,6 +22,7 @@ from mayamatchmovesolver_tpu.scene.attrblock import AttrBlock
 from mayamatchmovesolver_tpu.scene.scenegraph import Attribute
 from mayamatchmovesolver_tpu.solver import lm as lm_mod
 from mayamatchmovesolver_tpu.solver import problem as problem_mod
+from mayamatchmovesolver_tpu.solver import registry as registry_mod
 from mayamatchmovesolver_tpu.solver import results as results_mod
 from mayamatchmovesolver_tpu.solver.loss import RobustLossType
 
@@ -58,6 +59,11 @@ class SolverOptions:
     image_width: float = 2048.0
     # 'fwd' Jacobian = n_params JVP passes; 'rev' = m VJP passes.
     jacobian_mode: str = "fwd"
+    # Solver backend (solver/registry.py indices); None = the registry
+    # default, which honors the MMSOLVER_TPU_DEFAULT_SOLVER env var
+    # (ref: the solverType flag + MMSOLVER_DEFAULT_SOLVER env override,
+    # adjust_base.cpp:80-127).
+    solver_type: Optional[int] = None
 
 
 def _lm_config(options: SolverOptions):
@@ -80,6 +86,7 @@ def build_problem(
     marker_frame_mask=None,
     stiffness=None,
     lens=None,
+    lines=None,
 ) -> problem_mod.SolveProblem:
     """Expand Attribute handles into the flat parameter layout.
 
@@ -115,7 +122,17 @@ def build_problem(
     if stiffness is None:
         stiff = dict(codes=[], frames=[], weight=[], variance=[], target=[])
     else:
-        stiff = stiffness
+        stiff = dict(stiffness)
+    n_stiff = len(stiff["codes"])
+    stiff.setdefault("prev_frames", [-1] * n_stiff)
+    stiff.setdefault("prev2_frames", [-1] * n_stiff)
+    stiff.setdefault("mode", [0] * n_stiff)
+    stiff.setdefault("target", [0.0] * n_stiff)
+
+    if lines is None:
+        lines = dict(mkr_index=np.zeros((0, 1), np.int32),
+                     mkr_mask=np.zeros((0, 1), bool),
+                     weight=np.zeros(0))
 
     dtype = attrs.static_values.dtype
     return problem_mod.SolveProblem(
@@ -130,11 +147,21 @@ def build_problem(
         param_scale=jnp.asarray(scales, dtype=dtype),
         stiff_codes=jnp.asarray(stiff["codes"], dtype=jnp.int32),
         stiff_frames=jnp.asarray(stiff["frames"], dtype=jnp.int32),
+        stiff_prev_frames=jnp.asarray(
+            stiff["prev_frames"], dtype=jnp.int32
+        ),
+        stiff_prev2_frames=jnp.asarray(
+            stiff["prev2_frames"], dtype=jnp.int32
+        ),
+        stiff_mode=jnp.asarray(stiff["mode"], dtype=jnp.int32),
         stiff_weight=jnp.asarray(stiff["weight"], dtype=dtype),
         stiff_variance=jnp.asarray(
             stiff["variance"] or [], dtype=dtype
         ),
         stiff_target=jnp.asarray(stiff["target"], dtype=dtype),
+        line_mkr_index=jnp.asarray(lines["mkr_index"], dtype=jnp.int32),
+        line_mkr_mask=jnp.asarray(lines["mkr_mask"], dtype=bool),
+        line_weight=jnp.asarray(lines["weight"], dtype=dtype),
         marker_frame_mask=jnp.asarray(marker_frame_mask),
         lens=lens,
         loss_type=int(options.robust_loss_type),
@@ -151,34 +178,60 @@ def build_stiffness(attrs_block, solve_attrs, frame_indices,
     frame's* value; smoothness toward the linear prediction from the
     two previous frames (ref: the attrStiffness/attrSmoothness solver
     flags and their target wiring, adjust_measureErrors.cpp:311-387,
-    compile.py:486-589).  Targets are computed from the current attr
-    values at build time.
-    """
-    import numpy as np
+    compile.py:486-589).  Targets are LIVE — resolved from the current
+    attribute state at every residual evaluation (the reference reads
+    the neighboring-frame values with candidate parameters applied), so
+    only the frame indices are recorded here.
 
-    anim = np.asarray(attrs_block.anim_values)
-    codes, frames_out, weights, variances, targets = [], [], [], [], []
+    `weight` and `variance` may be scalars or per-attribute mappings
+    keyed by attr code (the per-attribute exposure of the reference's
+    setattributedetails stiffness/smoothness values).
+    """
+
+    def per_attr(value, attr):
+        if isinstance(value, dict):
+            return value.get(attr.code, value.get(attr, 0.0))
+        return value
+
+    spec = dict(codes=[], frames=[], prev_frames=[], prev2_frames=[],
+                weight=[], variance=[], target=[], mode=[])
+    mode_id = 1 if mode == "stiffness" else 2
     frame_indices = list(frame_indices)
     for attr in solve_attrs:
         if attr.code % 2 != 1:
             continue
-        channel = attr.code // 2
+        w = float(per_attr(weight, attr))
+        v = float(per_attr(variance, attr)) or 1.0
+        if w <= 0.0:
+            continue
         for f in frame_indices:
-            if mode == "stiffness":
-                if f - 1 < 0:
-                    continue
-                target = anim[channel, f - 1]
-            else:  # smoothness: linear prediction
-                if f - 2 < 0:
-                    continue
-                target = 2.0 * anim[channel, f - 1] - anim[channel, f - 2]
-            codes.append(attr.code)
-            frames_out.append(int(f))
-            weights.append(float(weight))
-            variances.append(float(variance))
-            targets.append(float(target))
-    return dict(codes=codes, frames=frames_out, weight=weights,
-                variance=variances, target=targets)
+            if mode_id == 1 and f - 1 < 0:
+                continue
+            if mode_id == 2 and f - 2 < 0:
+                continue
+            spec["codes"].append(attr.code)
+            spec["frames"].append(int(f))
+            spec["prev_frames"].append(int(f) - 1)
+            spec["prev2_frames"].append(max(int(f) - 2, 0))
+            spec["weight"].append(w)
+            spec["variance"].append(v)
+            spec["target"].append(0.0)
+            spec["mode"].append(mode_id)
+    return spec
+
+
+def merge_stiffness(*specs):
+    """Concatenate stiffness/smoothness specs from build_stiffness."""
+    keys = ("codes", "frames", "prev_frames", "prev2_frames", "weight",
+            "variance", "target", "mode")
+    out = {k: [] for k in keys}
+    for spec in specs:
+        if spec is None:
+            continue
+        n = len(spec["codes"])
+        for k in keys:
+            out[k].extend(spec.get(k, [0] * n))
+    return out
 
 
 def count_errors_and_parameters(problem: problem_mod.SolveProblem):
@@ -187,7 +240,72 @@ def count_errors_and_parameters(problem: problem_mod.SolveProblem):
     adjust_relationships.cpp:75,223)."""
     num_marker_errors = int(np.sum(np.asarray(problem.marker_frame_mask))) * 2
     num_stiff = int(problem.stiff_codes.shape[0])
-    return num_marker_errors + num_stiff, int(problem.num_params)
+    num_line = int(np.sum(np.asarray(problem.line_mkr_mask))) * int(
+        problem.num_frames
+    )
+    return (
+        num_marker_errors + num_stiff + num_line,
+        int(problem.num_params),
+    )
+
+
+def _resolve_solver_type(options: SolverOptions, problem):
+    """Pick the solver backend: explicit option, else the registry
+    default (which honors the MMSOLVER_TPU_DEFAULT_SOLVER env var,
+    like the reference's MMSOLVER_DEFAULT_SOLVER,
+    adjust_base.cpp:102-127).  Backends with structural requirements
+    the problem doesn't meet fall back to the dense LM."""
+    st = options.solver_type
+    if st is None:
+        st, _ = registry_mod.get_solver_type_default()
+    if st == registry_mod.SOLVER_TYPE_LM_SHARDED:
+        # Frame-sharded LM needs: all parameters static, and the solve
+        # frame count divisible by the device count.
+        all_static = bool(np.all(np.asarray(problem.param_frames) == -1))
+        n_dev = len(jax.devices())
+        if not all_static or int(problem.num_frames) % n_dev != 0:
+            return registry_mod.SOLVER_TYPE_LM_DENSE
+    elif st in (registry_mod.SOLVER_TYPE_BA_SCHUR,
+                registry_mod.SOLVER_TYPE_BA_SHARDED):
+        # The structured BA backends run through solver.ba /
+        # parallel.ba_sharded on BAProblem layouts, not SolveProblem;
+        # generic solves fall back to the dense LM.
+        return registry_mod.SOLVER_TYPE_LM_DENSE
+    return st
+
+
+def _solve_problem_sharded(problem, config_static_tuple):
+    """Frame-sharded LM backend (parallel/sharded.py) behind the same
+    result contract as the dense path."""
+    from mayamatchmovesolver_tpu.parallel import (
+        make_frame_mesh,
+        shard_problem_arrays,
+        sharded_levenberg_marquardt,
+    )
+
+    (max_it, tau, eps1, eps2, eps3, _) = config_static_tuple
+    mesh = make_frame_mesh()
+    sharded = shard_problem_arrays(problem, mesh)
+    x0 = problem_mod.initial_parameters(sharded)
+    _, aux0 = problem_mod.measure_residuals(sharded, sharded.attrs)
+    state = sharded_levenberg_marquardt(
+        sharded, x0, mesh, max_iterations=max_it, tau=tau,
+        eps1=eps1, eps2=eps2, eps3=eps3,
+    )
+    attrs_out = problem_mod.insert_parameters(sharded, state.params)
+    _, aux1 = problem_mod.measure_residuals(sharded, attrs_out)
+    lm_result = lm_mod.LMResult(
+        x=state.params,
+        residuals=jnp.zeros(0, state.params.dtype),
+        cost=state.cost,
+        cost_initial=state.cost,
+        iterations=state.it,
+        func_evals=2 * state.it,
+        jacobian_evals=state.it,
+        stop_reason=jnp.where(state.stop == 0, 4, state.stop),
+        gradient_norm=jnp.zeros((), state.params.dtype),
+    )
+    return lm_result, attrs_out, aux0, aux1
 
 
 @functools.partial(jax.jit, static_argnums=1)
@@ -219,6 +337,7 @@ def solve(
     marker_frame_mask=None,
     stiffness=None,
     lens=None,
+    lines=None,
 ):
     """Solve and return (new_attrs, SolverResult).
 
@@ -230,7 +349,7 @@ def solve(
     problem = build_problem(
         scene, attrs, frame_indices, solve_attrs, options,
         marker_frame_mask=marker_frame_mask, stiffness=stiffness,
-        lens=lens,
+        lens=lens, lines=lines,
     )
 
     num_errors, num_params = count_errors_and_parameters(problem)
@@ -254,7 +373,15 @@ def solve(
     )
 
     t0 = time.perf_counter()
-    lm_result, attrs_out, aux0, aux1 = _solve_problem_jit(problem, cfg)
+    solver_type = _resolve_solver_type(options, problem)
+    if solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
+        lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
+            problem, cfg
+        )
+    else:
+        lm_result, attrs_out, aux0, aux1 = _solve_problem_jit(
+            problem, cfg
+        )
     jax.block_until_ready(lm_result.x)
     solve_seconds = time.perf_counter() - t0
 
@@ -312,31 +439,59 @@ def solve(
     return attrs_out, result
 
 
-@functools.partial(jax.jit, static_argnums=2)
-def _solve_per_frame_jit(base, frame_indices, config_static_tuple):
+def _per_frame_error(dist, mask):
+    """(M, F) distances + mask -> (F,) masked per-frame mean (inf where
+    nothing measured, so unmeasured frames never win an accept test)."""
+    n = jnp.maximum(jnp.sum(mask, axis=0), 1)
+    err = jnp.sum(jnp.where(mask, dist, 0.0), axis=0) / n
+    return jnp.where(jnp.any(mask, axis=0), err, jnp.inf)
+
+
+def _frame_stiff_weight(base, frame_idx):
+    """Restrict soft constraints to the frame being solved (other
+    frames' entries are constants that would pollute the ftol test)."""
+    return jnp.where(base.stiff_frames == frame_idx, base.stiff_weight,
+                     jnp.zeros_like(base.stiff_weight))
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4))
+def _solve_per_frame_jit(base, frame_indices, full_mask,
+                         config_static_tuple, accept_only_better):
     """The whole per-frame sweep as ONE program: vmapped LM over frames,
-    vectorized scatter of the solutions into the attr block, and the
-    final deviation measurement — a single dispatch (the remote-device
-    round-trip otherwise dominates wall-clock)."""
+    vectorized scatter of the solutions into the attr block, per-frame
+    accept-only-better revert (ref: adjust_base.cpp:1430-1484 reverts a
+    worsened frame), and the final deviation measurement — a single
+    dispatch (the remote-device round-trip otherwise dominates
+    wall-clock)."""
     (max_it, tau, eps1, eps2, eps3, jac_mode) = config_static_tuple
     config = lm_mod.LMConfig(
         max_iterations=max_it, tau=tau, eps1=eps1, eps2=eps2, eps3=eps3,
         jacobian_mode=jac_mode,
     )
+    num_frames = frame_indices.shape[0]
 
-    def solve_one(frame_idx):
+    def solve_one(frame_idx, mask_col):
         prob = dataclasses.replace(
             base,
             frame_indices=frame_idx[None],
             param_frames=jnp.broadcast_to(
                 frame_idx, base.param_frames.shape
             ),
+            marker_frame_mask=mask_col[:, None],
+            stiff_weight=_frame_stiff_weight(base, frame_idx),
         )
         fn = problem_mod.residual_fn(prob)
         x0 = problem_mod.initial_parameters(prob)
         return lm_mod.levenberg_marquardt(fn, x0, config)
 
-    batched = jax.vmap(solve_one)(frame_indices)
+    batched = jax.vmap(solve_one)(frame_indices, full_mask.T)
+
+    # Initial deviations over every frame (for error_initial and the
+    # per-frame accept test).
+    eval_prob = dataclasses.replace(
+        base, frame_indices=frame_indices, marker_frame_mask=full_mask
+    )
+    _, aux0 = problem_mod.measure_residuals(eval_prob, base.attrs)
 
     # Vectorized scatter: all parameters are animated, so solution
     # (F, P) writes to anim[channel_p, frame_f] after bound conversion.
@@ -353,19 +508,199 @@ def _solve_per_frame_jit(base, frame_indices, config_static_tuple):
     anim_new = base.attrs.anim_values.at[
         channels[None, :], frame_indices[:, None]
     ].set(external.astype(base.attrs.anim_values.dtype))
-    attrs_out = base.attrs._replace(anim_values=anim_new)
-
-    final_prob = dataclasses.replace(
-        base,
-        attrs=attrs_out,
-        frame_indices=frame_indices,
-        marker_frame_mask=jnp.broadcast_to(
-            base.marker_frame_mask[:, :1],
-            (base.scene.num_markers, frame_indices.shape[0]),
-        ),
+    _, aux1 = problem_mod.measure_residuals(
+        eval_prob, base.attrs._replace(anim_values=anim_new)
     )
-    _, aux = problem_mod.measure_residuals(final_prob, attrs_out)
-    return attrs_out, batched, aux
+
+    # Per-frame accept-only-better: revert frames the solve worsened
+    # (ref: acceptOnlyBetter + per-frame loop, adjust_base.cpp:
+    # 1208-1244, 1430-1484).
+    err0 = _per_frame_error(
+        aux0["per_marker_frame_distance"], aux0["mask"]
+    )
+    err1 = _per_frame_error(
+        aux1["per_marker_frame_distance"], aux1["mask"]
+    )
+    if accept_only_better:
+        improved = err1 < err0
+    else:
+        improved = jnp.ones(num_frames, bool)
+    old_vals = base.attrs.anim_values[
+        channels[None, :], frame_indices[:, None]
+    ]  # (F, P)
+    final_vals = jnp.where(
+        improved[:, None], external.astype(old_vals.dtype), old_vals
+    )
+    anim_final = base.attrs.anim_values.at[
+        channels[None, :], frame_indices[:, None]
+    ].set(final_vals)
+    attrs_out = base.attrs._replace(anim_values=anim_final)
+
+    # Final deviation stats from the accepted per-frame states (no third
+    # scene evaluation needed: pick each frame's column).
+    dist = jnp.where(
+        improved[None, :],
+        aux1["per_marker_frame_distance"],
+        aux0["per_marker_frame_distance"],
+    )
+    mask = jnp.where(improved[None, :], aux1["mask"], aux0["mask"])
+    n_measured = jnp.maximum(jnp.sum(mask), 1)
+    aux = {
+        "error_initial": aux0["error_avg"],
+        "error_avg": jnp.sum(jnp.where(mask, dist, 0.0)) / n_measured,
+        "error_min": jnp.min(jnp.where(mask, dist, jnp.inf)),
+        "error_max": jnp.max(jnp.where(mask, dist, -jnp.inf)),
+        "per_marker_frame_distance": dist,
+        "mask": mask,
+    }
+    return attrs_out, batched, aux, improved
+
+
+# Kalman measurement/process variances for the sequential warm-start
+# (ref: the execute layer's value prediction constants,
+# python/mmSolver/_api/_execute/main.py:483-497).
+_KALMAN_MEASUREMENT_VARIANCE = 1.0
+_KALMAN_PROCESS_VARIANCE = 1.0
+
+
+@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+def _solve_sequential_jit(base, frame_indices, full_mask,
+                          config_static_tuple, accept_only_better,
+                          warm_start):
+    """Sequential per-frame sweep as one lax.scan: each frame starts
+    from a Kalman prediction fused from the previously solved frames
+    (ref: the attribute value prediction between per-frame solves,
+    _execute/main.py:483-497, utils/kalmanfilter.py), and stiffness
+    constraints see the already-solved previous frame."""
+    from mayamatchmovesolver_tpu.solver import bounds as bounds_mod
+    from mayamatchmovesolver_tpu.utils import kalmanfilter
+
+    (max_it, tau, eps1, eps2, eps3, jac_mode) = config_static_tuple
+    config = lm_mod.LMConfig(
+        max_iterations=max_it, tau=tau, eps1=eps1, eps2=eps2, eps3=eps3,
+        jacobian_mode=jac_mode,
+    )
+    channels = base.param_codes // 2  # (P,) all animated
+    dtype = base.attrs.anim_values.dtype
+
+    def body(carry, inp):
+        anim, mean, var, n_solved = carry
+        frame_idx, mask_col = inp
+
+        # Warm start: overwrite this frame's cells with the prediction
+        # once at least one frame informs the filter.
+        use_pred = n_solved > 0
+        cur = anim[channels, frame_idx]
+        anim_ws = anim.at[channels, frame_idx].set(
+            jnp.where(use_pred, mean.astype(dtype), cur)
+        )
+        attrs_f = base.attrs._replace(anim_values=anim_ws)
+
+        prob = dataclasses.replace(
+            base,
+            attrs=attrs_f,
+            frame_indices=frame_idx[None],
+            param_frames=jnp.broadcast_to(
+                frame_idx, base.param_frames.shape
+            ),
+            marker_frame_mask=mask_col[:, None],
+            stiff_weight=_frame_stiff_weight(base, frame_idx),
+        )
+        _, aux0 = problem_mod.measure_residuals(prob, attrs_f)
+        fn = problem_mod.residual_fn(prob)
+        x0 = problem_mod.initial_parameters(prob)
+        lm_result = lm_mod.levenberg_marquardt(fn, x0, config)
+
+        external = bounds_mod.internal_to_external(
+            lm_result.x, base.param_min, base.param_max,
+            base.param_offset, base.param_scale,
+        )
+        anim_new = anim_ws.at[channels, frame_idx].set(
+            external.astype(dtype)
+        )
+        _, aux1 = problem_mod.measure_residuals(
+            prob, attrs_f._replace(anim_values=anim_new)
+        )
+        err0 = aux0["error_avg"]
+        err1 = aux1["error_avg"]
+        if accept_only_better:
+            improved = err1 < err0
+        else:
+            improved = jnp.asarray(True)
+        accepted = jnp.where(improved, external.astype(dtype), cur)
+        anim_out = anim.at[channels, frame_idx].set(accepted)
+
+        # Kalman fuse + predict for the next frame's warm start.
+        meas_var = jnp.full_like(var, _KALMAN_MEASUREMENT_VARIANCE)
+        fused = kalmanfilter.update(
+            kalmanfilter.State(value=mean, mean=mean, variance=var),
+            kalmanfilter.State(
+                value=accepted, mean=accepted, variance=meas_var
+            ),
+        )
+        predicted = kalmanfilter.predict(
+            kalmanfilter.State(
+                value=fused.value, mean=fused.mean,
+                variance=fused.variance,
+            ),
+            kalmanfilter.State(
+                value=0.0, mean=jnp.zeros_like(mean),
+                variance=jnp.full_like(
+                    var, _KALMAN_PROCESS_VARIANCE
+                ),
+            ),
+        )
+        first = n_solved == 0
+        mean_out = jnp.where(first, accepted, predicted.mean)
+        var_out = jnp.where(
+            first, jnp.full_like(var, _KALMAN_PROCESS_VARIANCE),
+            predicted.variance,
+        )
+        if not warm_start:
+            mean_out = jnp.zeros_like(mean)
+            var_out = jnp.ones_like(var)
+            use_out = jnp.asarray(0, jnp.int32)
+        else:
+            use_out = n_solved + 1
+        outputs = (lm_result.iterations, lm_result.func_evals,
+                   lm_result.jacobian_evals, lm_result.stop_reason,
+                   improved)
+        return (anim_out, mean_out, var_out, use_out), outputs
+
+    num_params = base.param_codes.shape[0]
+    init = (
+        base.attrs.anim_values,
+        jnp.zeros(num_params, dtype),
+        jnp.ones(num_params, dtype),
+        jnp.asarray(0, jnp.int32),
+    )
+    (anim_final, _, _, _), outs = jax.lax.scan(
+        body, init, (frame_indices, full_mask.T)
+    )
+    iterations, func_evals, jac_evals, stop_reasons, improved = outs
+    attrs_out = base.attrs._replace(anim_values=anim_final)
+
+    eval_prob = dataclasses.replace(
+        base, frame_indices=frame_indices, marker_frame_mask=full_mask
+    )
+    _, aux0 = problem_mod.measure_residuals(eval_prob, base.attrs)
+    _, aux1 = problem_mod.measure_residuals(eval_prob, attrs_out)
+    aux = dict(aux1)
+    aux["error_initial"] = aux0["error_avg"]
+
+    zeros_f = jnp.zeros(frame_indices.shape[0], dtype)
+    batched = lm_mod.LMResult(
+        x=jnp.zeros((frame_indices.shape[0], num_params), dtype),
+        residuals=zeros_f,
+        cost=zeros_f,
+        cost_initial=zeros_f,
+        iterations=iterations,
+        func_evals=func_evals,
+        jacobian_evals=jac_evals,
+        stop_reason=stop_reasons,
+        gradient_norm=zeros_f,
+    )
+    return attrs_out, batched, aux, improved
 
 
 def solve_per_frame(
@@ -376,13 +711,22 @@ def solve_per_frame(
     options: Optional[SolverOptions] = None,
     lens=None,
     marker_mask=None,
+    marker_frame_mask=None,
+    stiffness=None,
+    lines=None,
+    sequential=False,
+    kalman_warm_start=True,
 ):
     """Per-frame solve mode: each frame is an independent problem.
 
     The reference loops frames serially because the Maya DG is not
     thread-safe (ref: adjust_base.cpp:1430-1484); here all frames solve
     *in parallel* under one vmap-ped LM — the per-frame problems share
-    one compiled program and batch onto the TPU.
+    one compiled program and batch onto the TPU.  With
+    ``sequential=True`` frames solve in order under one lax.scan, each
+    warm-started from a Kalman prediction of the previous solutions
+    (ref: _execute/main.py:483-497) — slower but propagates information
+    forward like the reference's per-frame loop.
 
     Only animated attributes are meaningful per-frame; static attrs
     would be re-solved per frame (the reference has the same semantics —
@@ -397,15 +741,25 @@ def solve_per_frame(
             "solve static attrs in ALL_FRAMES_AT_ONCE mode"
         )
 
-    mask1 = None
-    if marker_mask is not None:
-        mask1 = np.broadcast_to(
+    num_frames = len(frame_indices)
+    if marker_frame_mask is not None:
+        full_mask = np.asarray(marker_frame_mask, dtype=bool)
+        if full_mask.shape != (scene.num_markers, num_frames):
+            raise ValueError(
+                "marker_frame_mask shape %r != (markers=%d, frames=%d)"
+                % (full_mask.shape, scene.num_markers, num_frames)
+            )
+    elif marker_mask is not None:
+        full_mask = np.broadcast_to(
             np.asarray(marker_mask, dtype=bool)[:, None],
-            (scene.num_markers, 1),
+            (scene.num_markers, num_frames),
         )
+    else:
+        full_mask = np.ones((scene.num_markers, num_frames), dtype=bool)
+
     base = build_problem(
         scene, attrs, frame_indices[:1], anim_attrs, options, lens=lens,
-        marker_frame_mask=mask1,
+        stiffness=stiffness, lines=lines,
     )
     cfg = (
         int(options.iterations),
@@ -417,20 +771,63 @@ def solve_per_frame(
     )
 
     t0 = time.perf_counter()
-    attrs_out, batched, aux = _solve_per_frame_jit(
-        base, jnp.asarray(frame_indices), cfg
-    )
+    if sequential:
+        attrs_out, batched, aux, improved = _solve_sequential_jit(
+            base, jnp.asarray(frame_indices), jnp.asarray(full_mask),
+            cfg, bool(options.accept_only_better),
+            bool(kalman_warm_start),
+        )
+    else:
+        attrs_out, batched, aux, improved = _solve_per_frame_jit(
+            base, jnp.asarray(frame_indices), jnp.asarray(full_mask),
+            cfg, bool(options.accept_only_better),
+        )
     jax.block_until_ready(attrs_out.anim_values)
     solve_seconds = time.perf_counter() - t0
 
+    stop_reasons = np.asarray(batched.stop_reason)
+    improved = np.asarray(improved)
     result = results_mod.SolverResult()
-    result.success = True
+    result.success = bool(np.all(np.isin(stop_reasons, (1, 2, 3, 4))))
+    result.stop_reason = int(np.max(stop_reasons))
+    result.reason_string = results_mod.STOP_REASON_MESSAGES.get(
+        result.stop_reason, ""
+    )
+    n_reverted = int(np.sum(~improved))
+    if n_reverted:
+        result.reason_string += (
+            " (%d frame(s) reverted: no improvement)" % n_reverted
+        )
     result.iterations = int(np.max(np.asarray(batched.iterations)))
     result.function_evals = int(np.sum(np.asarray(batched.func_evals)))
     result.jacobian_evals = int(np.sum(np.asarray(batched.jacobian_evals)))
+    result.error_initial = float(aux["error_initial"])
     result.error_final = float(aux["error_avg"])
     result.error_avg = float(aux["error_avg"])
     result.error_min = float(aux["error_min"])
     result.error_max = float(aux["error_max"])
     result.timer.solve_seconds = solve_seconds
+    result.per_frame_stop_reason = [int(s) for s in stop_reasons]
+    result.per_frame_reverted = [bool(not i) for i in improved]
+
+    # Per-frame / per-marker deviation curves, like the all-frames path.
+    dist = np.asarray(aux["per_marker_frame_distance"])  # (M, F)
+    mask = np.asarray(aux["mask"])
+    frames = [int(f) for f in frame_indices]
+    per_frame = []
+    for fi in range(len(frames)):
+        m = mask[:, fi]
+        per_frame.append(
+            float(dist[:, fi][m].mean()) if m.any() else float("nan")
+        )
+    result.per_frame_error = results_mod.FrameErrorList(
+        frames=frames, errors=per_frame
+    )
+    for mi in range(dist.shape[0]):
+        fl = results_mod.FrameErrorList()
+        for fi, frame in enumerate(frames):
+            if mask[mi, fi]:
+                fl.frames.append(frame)
+                fl.errors.append(float(dist[mi, fi]))
+        result.per_marker_error["marker_%d" % mi] = fl
     return attrs_out, result

@@ -50,6 +50,41 @@ def triangulate_markers(scene, attrs, frame_indices):
     return points, ok
 
 
+def triangulate_into_attrs(scene, attrs, frame_indices,
+                           marker_mask=None):
+    """Triangulate and scatter positions into the attr block using only
+    baked scene arrays (no scene-graph handle needed): each marker's
+    bundle transform's tx/ty/tz attr cells receive the DLT solution.
+    Animated position channels are written across ALL frames (a
+    triangulated bundle is a static point).  Returns (attrs, ok)."""
+    points, ok = triangulate_markers(scene, attrs, frame_indices)
+    ok = np.asarray(ok)
+    if marker_mask is not None:
+        ok = ok & np.asarray(marker_mask, bool)
+    points = np.asarray(points)
+    static = np.array(attrs.static_values)
+    anim = np.array(attrs.anim_values)
+    bnd_tfm = np.asarray(scene.bnd_tfm_index)
+    tfm_codes = np.asarray(scene.tfm_attr_codes)
+    mkr_bnd = np.asarray(scene.mkr_bnd_index)
+    for mi in range(points.shape[0]):
+        if not ok[mi]:
+            continue
+        codes = tfm_codes[bnd_tfm[mkr_bnd[mi]], 0:3]  # tx ty tz
+        for ci, code in enumerate(codes):
+            if code < 0:
+                continue
+            if code % 2 == 0:
+                static[code // 2] = points[mi, ci]
+            else:
+                anim[code // 2, :] = points[mi, ci]
+    return (
+        attrs._replace(static_values=jnp.asarray(static),
+                       anim_values=jnp.asarray(anim)),
+        ok,
+    )
+
+
 def triangulate_and_update(scene_graph, scene, attrs, frame_indices):
     """Triangulate and write positions into the attr block for every
     bundle that is a root-level transform (static tx/ty/tz attrs)."""

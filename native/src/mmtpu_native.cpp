@@ -125,6 +125,84 @@ Vec2 radial_distort(const RadialDeg4& model, Vec2 q, int iterations) {
     return p;
 }
 
+// 3DE4 Anamorphic Standard Degree 4 with lens rotation + squeeze x/y
+// (+ optional rescale), matching the JAX implementation in
+// models/tde.py (ref: distortion_structs.h
+// Distortion3deAnamorphicStdDeg4[Rescaled]).
+struct AnamorphicDeg4 {
+    double cx02, cy02, cx22, cy22;
+    double cx04, cy04, cx24, cy24, cx44, cy44;
+    double rotation_deg, squeeze_x, squeeze_y;
+    double pixel_aspect;
+    double rescale;  // 1.0 = plain (non-rescaled) variant
+
+    struct Mat2 {
+        double m00, m01, m10, m11;
+        Vec2 apply(Vec2 p) const {
+            return Vec2{m00 * p.x + m01 * p.y, m10 * p.x + m11 * p.y};
+        }
+        Mat2 inverse() const {
+            const double det = m00 * m11 - m01 * m10;
+            return Mat2{m11 / det, -m01 / det, -m10 / det, m00 / det};
+        }
+        Mat2 mul(const Mat2& o) const {
+            return Mat2{m00 * o.m00 + m01 * o.m10,
+                        m00 * o.m01 + m01 * o.m11,
+                        m10 * o.m00 + m11 * o.m10,
+                        m10 * o.m01 + m11 * o.m11};
+        }
+    };
+
+    // A = R(rot) @ Sx @ Sy [@ Rescale] @ Pa ;  B = Pa [@ Rescale] @ R.
+    void matrices(Mat2* a, Mat2* b) const {
+        const double c = std::cos(rotation_deg * M_PI / 180.0);
+        const double s = std::sin(rotation_deg * M_PI / 180.0);
+        const Mat2 rot{c, -s, s, c};
+        const Mat2 sx{squeeze_x, 0.0, 0.0, 1.0};
+        const Mat2 sy{1.0, 0.0, 0.0, squeeze_y};
+        const Mat2 pa{pixel_aspect, 0.0, 0.0, 1.0};
+        const Mat2 rs{rescale, 0.0, 0.0, 1.0};
+        *a = rot.mul(sx).mul(sy).mul(rs).mul(pa);
+        *b = pa.mul(rs).mul(rot);
+    }
+
+    Vec2 core(Vec2 p) const {
+        const double x = p.x, y = p.y;
+        const double x2 = x * x, y2 = y * y;
+        const double r2 = x2 + y2, r4 = r2 * r2;
+        const double safe_r2 = std::max(r2, 1e-30);
+        const double cos2 = (x2 - y2) / safe_r2;
+        const double cos4 = 2.0 * cos2 * cos2 - 1.0;
+        const double fx = 1.0 + cx02 * r2 + cx04 * r4 +
+                          cos2 * (cx22 * r2 + cx24 * r4) +
+                          cos4 * cx44 * r4;
+        const double fy = 1.0 + cy02 * r2 + cy04 * r4 +
+                          cos2 * (cy22 * r2 + cy24 * r4) +
+                          cos4 * cy44 * r4;
+        return Vec2{x * fx, y * fy};
+    }
+
+    Vec2 undistort(Vec2 p) const {
+        Mat2 a, b;
+        matrices(&a, &b);
+        return a.apply(core(b.inverse().apply(p)));
+    }
+
+    Vec2 distort(Vec2 q, int iterations) const {
+        Mat2 a, b;
+        matrices(&a, &b);
+        const Vec2 target = a.inverse().apply(q);
+        Vec2 f0 = core(target);
+        Vec2 p{target.x - (f0.x - target.x), target.y - (f0.y - target.y)};
+        for (int i = 0; i < iterations; ++i) {
+            Vec2 f = core(p);
+            p.x += target.x - f.x;
+            p.y += target.y - f.y;
+        }
+        return b.apply(p);
+    }
+};
+
 inline Vec2 unit_to_dn(const CameraPars& cam, double radius, Vec2 u) {
     return Vec2{((u.x - 0.5) * cam.fbw_cm - cam.lco_x_cm) / radius,
                 ((u.y - 0.5) * cam.fbh_cm - cam.lco_y_cm) / radius};
@@ -212,6 +290,25 @@ void mmtpu_stmap_radial_deg4(const double* lens8, const double* cam5,
         [](const RadialDeg4& m, Vec2 q) {
             return radial_distort(m, q, 20);
         },
+        cam, width, height, direction, n_threads, out_rgba);
+}
+
+// lens14: [cx02, cy02, cx22, cy22, cx04, cy04, cx24, cy24, cx44, cy44,
+//          rotation_deg, squeeze_x, squeeze_y, rescale] — pass
+// rescale=1 for the non-rescaled variant.  Pixel aspect comes from
+// cam5[4] (the anamorphic extender chain consumes it; ref:
+// distortion_structs.h Distortion3deAnamorphicStdDeg4).
+void mmtpu_stmap_anamorphic_deg4(const double* lens14, const double* cam5,
+                                 int width, int height, int direction,
+                                 int n_threads, float* out_rgba) {
+    AnamorphicDeg4 model{lens14[0], lens14[1], lens14[2], lens14[3],
+                         lens14[4], lens14[5], lens14[6], lens14[7],
+                         lens14[8], lens14[9], lens14[10], lens14[11],
+                         lens14[12], cam5[4], lens14[13]};
+    CameraPars cam{cam5[0], cam5[1], cam5[2], cam5[3], cam5[4]};
+    stmap_impl(
+        model,
+        [](const AnamorphicDeg4& m, Vec2 q) { return m.distort(q, 20); },
         cam, width, height, direction, n_threads, out_rgba);
 }
 

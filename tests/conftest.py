@@ -34,9 +34,10 @@ jax.config.update("jax_enable_x64", True)
 # TPU matmuls default to reduced-precision passes; parity tests need the
 # full-precision algorithm.
 jax.config.update("jax_default_matmul_precision", "highest")
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.path.join(os.path.dirname(__file__), "..", ".jax_cache"),
-)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+# The persistent compilation cache is disabled for tests: in this
+# sandbox the cache read/write path (zstd-compressed executables)
+# intermittently segfaults/aborts the interpreter mid-suite (observed
+# in both get_executable_and_time and put_executable_and_time).  CPU
+# compiles of the test-sized programs are fast, so in-memory caching
+# within a single pytest process is sufficient.
+jax.config.update("jax_enable_compilation_cache", False)

@@ -1,0 +1,221 @@
+"""CLI end-to-end tests: every verb exercised against tmpdir fixtures
+(the reference tests its command surface through maya.cmds calls,
+tests/test/test_solver/*.py; here the CLI is that surface)."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mayamatchmovesolver_tpu import cli
+
+
+def _write_uvtrack(path, n_frames=6, n_markers=6, with_3d=True):
+    """Synthetic ground-truth shot: static camera at z=10 looking at
+    bundles near the origin, markers = exact projections (same
+    intrinsics as the CLI defaults: 35mm / 36x24 / 1920x1080 /
+    horizontal fit)."""
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.core.constants import FilmFit
+    from mayamatchmovesolver_tpu.scene import SceneGraph, evaluate
+    from mayamatchmovesolver_tpu.scene import flatscene
+
+    rng = np.random.RandomState(3)
+    bundles = rng.uniform(-1.5, 1.5, (n_markers, 3))
+    bundles[:, 2] *= 0.5
+
+    sg = SceneGraph(frame_range=(1, n_frames))
+    t = np.linspace(0.0, 1.0, n_frames)
+    cam = sg.create_camera(
+        "cam",
+        tx=0.4 * t, ty=0.1 * t, tz=10.0 + 0.5 * t,
+        rx=np.zeros(n_frames), ry=2.0 * t, rz=np.zeros(n_frames),
+        focal_length_mm=35.0, sensor_width_mm=36.0,
+        sensor_height_mm=24.0, film_fit=FilmFit.HORIZONTAL,
+        render_width=1920, render_height=1080,
+    )
+    for i, b in enumerate(bundles):
+        bnd = sg.create_bundle("b%d" % i, tx=b[0], ty=b[1], tz=b[2])
+        sg.create_marker("m%d" % i, camera=cam, bundle=bnd)
+    scene, attrs = sg.bake()
+    ev = evaluate(scene, attrs, jnp.arange(n_frames))
+    # uvtrack uv is [0, 1] raw marker space: screen position divided by
+    # the film-fit scale, shifted by +0.5 (markers_to_scene inverts).
+    fsx, fsy = flatscene.marker_fit_scale(
+        scene, attrs, jnp.arange(n_frames)
+    )
+    point_xy = np.asarray(ev.point_xy)
+    marker_xy = np.stack(
+        [point_xy[..., 0] / np.asarray(fsx),
+         point_xy[..., 1] / np.asarray(fsy)], axis=-1
+    ) + 0.5  # (M, F, 2) in [0, 1]
+
+    points = []
+    for i in range(n_markers):
+        per_frame = [
+            {
+                "frame": int(f + 1),
+                "pos": [float(marker_xy[i, f, 0]),
+                        float(marker_xy[i, f, 1])],
+                "pos_dist": [float(marker_xy[i, f, 0]),
+                             float(marker_xy[i, f, 1])],
+                "weight": 1.0,
+            }
+            for f in range(n_frames)
+        ]
+        entry = {"name": "m%d" % i, "id": i, "set_name": "set",
+                 "per_frame": per_frame}
+        if with_3d:
+            entry["3d"] = {
+                "x": float(bundles[i, 0]),
+                "y": float(bundles[i, 1]),
+                "z": float(bundles[i, 2]),
+                "x_lock": True, "y_lock": True, "z_lock": True,
+            }
+        points.append(entry)
+    with open(path, "w") as f:
+        json.dump({"version": 4, "points": points}, f)
+    return sg, cam, bundles
+
+
+def test_formats_lists_uv(capsys):
+    assert cli.main(["formats"]) == 0
+    out = capsys.readouterr().out
+    assert ".uv" in out
+
+
+def test_solve_verb_recovers_camera(tmp_path, capsys):
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    out_path = os.path.join(tmp_path, "solved.json")
+    init_path = os.path.join(tmp_path, "init.json")
+    sg, cam, _ = _write_uvtrack(uv_path)
+    # Rough initial guess (the reference solve also starts from the
+    # user's current camera, not from scratch).
+    with open(init_path, "w") as f:
+        json.dump({"camera": {"tz": 9.5}}, f)
+    rc = cli.main([
+        "solve", "--markers", uv_path, "--output", out_path,
+        "--iterations", "40", "--camera", init_path,
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "success=1" in out
+    with open(out_path) as f:
+        solved = json.load(f)
+    # Ground-truth camera path (tz ends at 10.5).
+    tz = np.asarray(solved["camera"]["tz"])
+    gt_tz = 10.0 + 0.5 * np.linspace(0, 1, len(tz))
+    np.testing.assert_allclose(tz, gt_tz, atol=2e-3)
+
+
+def test_camera_solve_verb_runs(tmp_path, capsys):
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    out_path = os.path.join(tmp_path, "sfm.json")
+    _write_uvtrack(uv_path, n_frames=10, n_markers=12, with_3d=False)
+    rc = cli.main([
+        "camera-solve", "--markers", uv_path, "--output", out_path,
+    ])
+    assert rc == 0
+    with open(out_path) as f:
+        result = json.load(f)
+    assert len(result["frames"]) == 10
+    assert any(result["camera"]["frame_solved"])
+    assert len(result["points"]["names"]) == 12
+
+
+def test_lensdistort_verb_writes_stmap(tmp_path):
+    from mayamatchmovesolver_tpu import models
+    from mayamatchmovesolver_tpu.io import exr
+    from mayamatchmovesolver_tpu.ops import stmap as stmap_mod
+
+    out_path = os.path.join(tmp_path, "st.exr")
+    rc = cli.main([
+        "lensdistort", "--model", "tde_classic",
+        "--distortion", "0.08", "--width", "64", "--height", "36",
+        "--direction", "undistort", "--output", out_path,
+    ])
+    assert rc == 0
+    img, _ = exr.read_pixels(out_path)
+    model = models.TdeClassic.create(distortion=0.08)
+    fb = models.FilmBack.create(width_cm=3.6, height_cm=2.4)
+    oracle = np.asarray(
+        stmap_mod.stmap_xla(model, fb, 64, 36, "undistort")
+    )
+    np.testing.assert_allclose(
+        img[..., :2], oracle[..., :2].astype(np.float32), atol=1e-5
+    )
+
+
+def test_reproject_verb(tmp_path, capsys):
+    from mayamatchmovesolver_tpu.utils import reproject as reproject_mod
+
+    cam_path = os.path.join(tmp_path, "cam.json")
+    pts_path = os.path.join(tmp_path, "pts.json")
+    out_path = os.path.join(tmp_path, "reproj.json")
+    cam = {
+        "frames": [1, 2, 3],
+        "camera": {
+            "tx": [0.0, 0.1, 0.2], "ty": [0.0, 0.0, 0.0],
+            "tz": [10.0, 10.0, 10.0], "rx": [0.0, 0.0, 0.0],
+            "ry": [0.0, 1.0, 2.0], "rz": [0.0, 0.0, 0.0],
+        },
+    }
+    points = [[0.0, 0.0, 0.0], [1.0, -0.5, 0.3]]
+    with open(cam_path, "w") as f:
+        json.dump(cam, f)
+    with open(pts_path, "w") as f:
+        json.dump(points, f)
+    rc = cli.main([
+        "reproject", "--camera", cam_path, "--points", pts_path,
+        "--space", "pixels", "--output", out_path,
+    ])
+    assert rc == 0
+    with open(out_path) as f:
+        result = json.load(f)
+    xy = np.asarray(result["points"])
+    assert xy.shape == (2, 3, 2)
+    world = np.asarray(reproject_mod.camera_world_matrix_from_trs(
+        np.asarray(cam["camera"]["tx"]), np.asarray(cam["camera"]["ty"]),
+        np.asarray(cam["camera"]["tz"]), np.asarray(cam["camera"]["rx"]),
+        np.asarray(cam["camera"]["ry"]), np.asarray(cam["camera"]["rz"]),
+    ))
+    oracle = np.asarray(reproject_mod.reproject_points(
+        np.asarray(points)[:, None, :], world[None], as_pixels=True,
+    ))
+    np.testing.assert_allclose(xy, oracle, atol=1e-9)
+    # Point at the origin, camera straight down +z at frame 1: center
+    # of the 1920x1080 image.
+    np.testing.assert_allclose(xy[0, 0], [960.0, 540.0], atol=1e-6)
+
+
+def test_image_info_and_convert(tmp_path, capsys):
+    from mayamatchmovesolver_tpu.io import exr
+
+    src = os.path.join(tmp_path, "src.exr")
+    dst = os.path.join(tmp_path, "dst.exr")
+    img = np.random.RandomState(0).rand(20, 31, 4).astype(np.float32)
+    exr.write_pixels(src, img)
+
+    rc = cli.main(["image-info", src, "--pixel", "5", "7"])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out)
+    assert (info["width"], info["height"]) == (31, 20)
+    np.testing.assert_allclose(info["pixel"], img[7, 5], atol=1e-7)
+
+    rc = cli.main(["image-convert", src, dst, "--scale", "2.0"])
+    assert rc == 0
+    rc = cli.main(["image-info", dst])
+    assert rc == 0
+    info = json.loads(capsys.readouterr().out.splitlines()[-1])
+    assert (info["width"], info["height"]) == (62, 40)
+
+
+def test_image_info_pixel_out_of_bounds(tmp_path):
+    from mayamatchmovesolver_tpu.io import exr
+
+    src = os.path.join(tmp_path, "src.exr")
+    exr.write_pixels(src, np.zeros((4, 4, 4), np.float32))
+    with pytest.raises(SystemExit):
+        cli.main(["image-info", src, "--pixel", "9", "9"])

@@ -32,6 +32,55 @@ def test_native_stmap_matches_xla():
         )
 
 
+def test_native_anamorphic_matches_jax():
+    params = (0.03, 0.02, 0.01, -0.015, 0.004, -0.003, 0.002, 0.001,
+              -0.0005, 0.0008, 4.0, 1.1, 0.95)
+    fb = models.FilmBack.create(width_cm=3.6, height_cm=2.4)
+    model = models.TdeAnamorphicStdDeg4.create(
+        degree2_cx02=params[0], degree2_cy02=params[1],
+        degree2_cx22=params[2], degree2_cy22=params[3],
+        degree4_cx04=params[4], degree4_cy04=params[5],
+        degree4_cx24=params[6], degree4_cy24=params[7],
+        degree4_cx44=params[8], degree4_cy44=params[9],
+        lens_rotation=params[10], squeeze_x=params[11],
+        squeeze_y=params[12],
+    )
+    for direction in ("distort", "undistort"):
+        fast = native.stmap_anamorphic_deg4(
+            params, (3.6, 2.4, 0.0, 0.0, 1.0), 64, 40, direction
+        )
+        oracle = np.asarray(
+            stmap_mod.stmap_xla(model, fb, 64, 40, direction)
+        )
+        np.testing.assert_allclose(
+            fast[..., :2], oracle[..., :2], atol=2e-5, err_msg=direction
+        )
+
+
+def test_native_anamorphic_rescaled_matches_jax():
+    params = (0.02, 0.015, 0.005, -0.01, 0.002, -0.001, 0.001, 0.0005,
+              -0.0002, 0.0004, -3.0, 1.05, 0.98, 1.15)
+    fb = models.FilmBack.create(width_cm=3.6, height_cm=2.4)
+    model = models.TdeAnamorphicStdDeg4Rescaled.create(
+        degree2_cx02=params[0], degree2_cy02=params[1],
+        degree2_cx22=params[2], degree2_cy22=params[3],
+        degree4_cx04=params[4], degree4_cy04=params[5],
+        degree4_cx24=params[6], degree4_cy24=params[7],
+        degree4_cx44=params[8], degree4_cy44=params[9],
+        lens_rotation=params[10], squeeze_x=params[11],
+        squeeze_y=params[12], rescale=params[13],
+    )
+    fast = native.stmap_anamorphic_deg4(
+        params, (3.6, 2.4, 0.0, 0.0, 1.0), 48, 32, "undistort"
+    )
+    oracle = np.asarray(
+        stmap_mod.stmap_xla(model, fb, 48, 32, "undistort")
+    )
+    np.testing.assert_allclose(
+        fast[..., :2], oracle[..., :2], atol=2e-5
+    )
+
+
 def test_native_exr_readable_by_python_reader():
     from mayamatchmovesolver_tpu.io import exr
 
