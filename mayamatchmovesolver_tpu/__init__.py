@@ -24,6 +24,9 @@ Capability map (reference file:line cites are to the mmSolver repo):
              (ref: python/mmSolver/utils/loadmarker, lib/rust/mmimage)
   utils/   — smoothing, kalman, config, logging
              (ref: python/mmSolver/utils)
+  tools/   — artist-tool data capabilities: screen-space conversion,
+             center-2D, reparent, scene-scale, attribute bake, marker
+             ops, origin frame, ray-cast (ref: python/mmSolver/tools)
   api      — object-oriented user API (ref: python/mmSolver/_api)
 """
 

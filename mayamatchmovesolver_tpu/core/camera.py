@@ -187,13 +187,21 @@ def projection_matrix(
     m22 = (far + near) / (far - near)
     m23 = 2.0 * far * near / (far - near)
 
-    # The reference builds this row-major then relies on nalgebra's
-    # column-vector convention; in our convention proj @ p the matrix is
-    # the transpose of the row-major listing at camera.rs:253-278.
+    # The reference lists this matrix row-major in Maya's ROW-vector
+    # convention (ref: lib/rust/mmscenegraph/src/math/camera.rs:253-278)
+    # but then uses it with column vectors, which silently drops the
+    # film-offset terms (m20/m21, the (right+left)/(right-left) frustum
+    # asymmetry) from the screen x/y — offsets only perturb z_ndc there.
+    # Maya itself (the reference's authoritative MayaDAG backend, e.g.
+    # MFnCamera projection used by adjust_measureErrors.cpp:118-246)
+    # evaluates p_row @ M, where M[2][0]/M[2][1] DO pan the image.  We
+    # therefore place the offset terms at their column-convention
+    # transpose positions so `proj @ p` matches Maya: with zero film
+    # offset m20 == m21 == 0 and the matrices agree exactly.
     rows = [
-        jnp.stack([m00, zero, zero, zero], axis=-1),
-        jnp.stack([zero, m11, zero, zero], axis=-1),
-        jnp.stack([m20, m21, m22, m23], axis=-1),
+        jnp.stack([m00, zero, m20, zero], axis=-1),
+        jnp.stack([zero, m11, m21, zero], axis=-1),
+        jnp.stack([zero, zero, m22, m23], axis=-1),
         jnp.stack([zero, zero, zero - 1.0, zero], axis=-1),
     ]
     return jnp.stack(rows, axis=-2)

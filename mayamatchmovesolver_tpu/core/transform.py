@@ -123,6 +123,9 @@ def matrix_to_euler(rotation3, rotate_order):
     which goes through quaternions; the result is identical away from
     gimbal lock.)
     """
+    rotate_order = jnp.broadcast_to(
+        jnp.asarray(rotate_order), rotation3.shape[:-2]
+    )
     perms = jnp.asarray(ROTATE_ORDER_PERMS)[rotate_order]  # (..., 3)
     sign = jnp.asarray(_PERM_SIGNS, rotation3.dtype)[rotate_order]
     i, j, k = perms[..., 0], perms[..., 1], perms[..., 2]

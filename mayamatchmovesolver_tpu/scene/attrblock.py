@@ -152,6 +152,22 @@ class AttrBlockBuilder:
             return self.add_static(value)
         return self.add_anim(value)
 
+    def set_value(self, code, value, frame=None):
+        """Edit an attribute in place before bake — the editable-graph
+        half of the reference's Attr::setValue
+        (ref: src/mmSolver/mayahelper/maya_attr.h:304).  A static code
+        takes a scalar; an animated one takes all-frames values, or a
+        scalar at `frame`."""
+        idx = code_index(code)
+        if is_static_code(code):
+            self._static[idx] = float(value)
+        elif frame is None:
+            self._anim[idx] = np.broadcast_to(
+                np.asarray(value, self.dtype), (self.num_frames,)
+            ).copy()
+        else:
+            self._anim[idx][int(frame)] = float(value)
+
     def bake(self, dtype=None):
         dtype = dtype or self.dtype
         static = np.asarray(self._static, dtype=dtype)

@@ -186,3 +186,32 @@ def test_rotated_camera_parity_with_manual_math():
     want = clip[:2] / clip[3] * 0.5
     np.testing.assert_allclose(np.asarray(out.point_xy[0, 0]), want,
                                atol=1e-10)
+
+
+def test_film_offset_pans_projection():
+    """Nonzero lens offset pans the image like Maya's film offset.
+
+    The reference's Rust backend loses the frustum-asymmetry terms by
+    using Maya's row-vector projection listing with column vectors
+    (camera.rs:253-278); Maya itself (the MayaDAG backend, authoritative
+    for film offset, maya_camera.cpp getProjMatrix) pans.  For an
+    on-axis point: x_marker = -(offset/film_width) * scale_x where
+    scale_x = render_aspect / film_aspect (horizontal fit)."""
+    off_mm = 9.0
+    sg = SceneGraph(frame_range=(1, 1))
+    cam = sg.create_camera(
+        "cam", tz=10.0, focal_length_mm=35.0,
+        sensor_width_mm=36.0, sensor_height_mm=24.0,
+        lens_offset_x_mm=off_mm,
+        film_fit=FilmFit.HORIZONTAL, render_width=2048,
+        render_height=1556,
+    )
+    b0 = sg.create_bundle("b0", tz=-10.0)
+    sg.create_marker("m0", camera=cam, bundle=b0)
+    scene, attrs = sg.bake()
+    out = evaluate(scene, attrs, jnp.asarray([0]))
+    scale_x = (2048.0 / 1556.0) / (36.0 / 24.0)
+    expect_x = -(off_mm / 36.0) * scale_x
+    np.testing.assert_allclose(
+        np.asarray(out.point_xy[0, 0]), [expect_x, 0.0], atol=1e-12
+    )
