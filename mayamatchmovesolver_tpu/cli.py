@@ -283,6 +283,238 @@ def _cmd_reproject(args):
     return 0
 
 
+def _cmd_solver_types(args):
+    """List registered solver backends (ref: the mmSolverType command,
+    src/mmSolver/cmd/MMSolverTypeCmd.cpp — query name/index/default)."""
+    from mayamatchmovesolver_tpu.solver import registry
+
+    default_index, _ = registry.get_solver_type_default()
+    out = [
+        {"index": idx, "name": name, "default": idx == default_index}
+        for idx, name in registry.get_solver_types()
+    ]
+    print(json.dumps(out))
+    return 0
+
+
+def _two_frame_bearings(args):
+    """Correspondences between two frames of a markers file, as
+    normalized CV bearings (markers enabled on both frames only)."""
+    from mayamatchmovesolver_tpu.sfm import camerasolve
+
+    _, mkr_data = _load_markers(
+        args.markers, args.image_width, args.image_height
+    )
+    start, end = _frame_range_of(mkr_data)
+    uv, enable, frames = _marker_arrays(mkr_data, start, end)
+    try:
+        ia = frames.index(args.frame_a)
+        ib = frames.index(args.frame_b)
+    except ValueError:
+        raise SystemExit(
+            "frames %d/%d outside marker range %d-%d"
+            % (args.frame_a, args.frame_b, start, end)
+        )
+    both = (enable[:, ia] > 0.5) & (enable[:, ib] > 0.5)
+    if both.sum() < 4:
+        raise SystemExit(
+            "only %d markers enabled on both frames" % int(both.sum())
+        )
+    # Raw marker space pairs with the film-back aspect (screen space
+    # would pair with the render aspect — see markers_to_bearings).
+    aspect = float(args.film_back_width) / float(args.film_back_height)
+    bearings = np.asarray(
+        camerasolve.markers_to_bearings(
+            uv[both][:, (ia, ib)], args.focal_length,
+            args.film_back_width, aspect,
+        )
+    )  # (M, 2, 2)
+    names = [md.name for md, keep in zip(mkr_data, both) if keep]
+    return bearings[:, 0], bearings[:, 1], names
+
+
+def _cmd_relative_pose(args):
+    """Two-view relative pose (ref: the mmCameraRelativePose command,
+    src/mmSolver/cmd/MMCameraRelativePoseCmd.cpp — ACRANSAC essential
+    matrix + pose; here hypothesis-parallel vmapped RANSAC)."""
+    from mayamatchmovesolver_tpu.sfm import twoview
+
+    pts_a, pts_b, names = _two_frame_bearings(args)
+    pose = twoview.robust_relative_pose(
+        jnp_array(pts_a), jnp_array(pts_b)
+    )
+    inliers = np.asarray(pose.inliers)
+    out = {
+        "frame_a": args.frame_a,
+        "frame_b": args.frame_b,
+        "rotation": np.asarray(pose.rotation).tolist(),
+        "translation": np.asarray(pose.translation).tolist(),
+        "essential": np.asarray(pose.essential).tolist(),
+        "num_inliers": int(pose.num_inliers),
+        "inlier_markers": [n for n, i in zip(names, inliers) if i],
+    }
+    _write_or_print(out, args.output)
+    return 0
+
+
+def _cmd_homography(args):
+    """Homography between two frames' markers (ref: the
+    mmMarkerHomography command, MMMarkerHomographyCmd.cpp)."""
+    from mayamatchmovesolver_tpu.sfm import twoview
+
+    pts_a, pts_b, names = _two_frame_bearings(args)
+    h = np.asarray(
+        twoview.estimate_homography(jnp_array(pts_a), jnp_array(pts_b))
+    )
+    err = np.asarray(
+        twoview.homography_transfer_error(
+            jnp_array(h), jnp_array(pts_a), jnp_array(pts_b)
+        )
+    )
+    out = {
+        "frame_a": args.frame_a,
+        "frame_b": args.frame_b,
+        "homography": h.tolist(),
+        "rms_transfer_error": float(np.sqrt(np.mean(err))),
+        "markers": names,
+    }
+    _write_or_print(out, args.output)
+    return 0
+
+
+def _cmd_pose_from_points(args):
+    """Camera pose from known 3D points at one frame (ref: the
+    mmCameraPoseFromPoints command, MMCameraPoseFromPointsCmd.cpp —
+    DLT resection)."""
+    from mayamatchmovesolver_tpu.sfm import camerasolve, twoview
+
+    _, mkr_data = _load_markers(
+        args.markers, args.image_width, args.image_height
+    )
+    start, end = _frame_range_of(mkr_data)
+    uv, enable, frames = _marker_arrays(mkr_data, start, end)
+    try:
+        fi = frames.index(args.frame)
+    except ValueError:
+        raise SystemExit("frame %d outside marker range" % args.frame)
+
+    with open(args.points) as f:
+        pts_data = json.load(f)
+    names = None
+    if isinstance(pts_data, dict):
+        block = pts_data.get("points", pts_data)
+        names = block.get("names") if isinstance(block, dict) else None
+        pts_data = block["positions"] if isinstance(block, dict) else block
+    points3d = np.asarray(pts_data, np.float64)
+
+    marker_names = [md.name for md in mkr_data]
+    if names is not None:
+        index_of = {n: i for i, n in enumerate(names)}
+        rows = [index_of.get(n, -1) for n in marker_names]
+    else:
+        rows = list(range(min(len(marker_names), points3d.shape[0])))
+        rows += [-1] * (len(marker_names) - len(rows))
+    keep = np.array(
+        [r >= 0 and enable[i, fi] > 0.5 for i, r in enumerate(rows)]
+    )
+    if keep.sum() < 6:
+        raise SystemExit(
+            "only %d usable marker<->3D correspondences" % int(keep.sum())
+        )
+    p3 = points3d[[r for r, k in zip(rows, keep) if k]]
+    aspect = float(args.film_back_width) / float(args.film_back_height)
+    p2 = np.asarray(
+        camerasolve.markers_to_bearings(
+            uv[keep, fi], args.focal_length,
+            args.film_back_width, aspect,
+        )
+    )
+    r, t = twoview.resection_pose(jnp_array(p3), jnp_array(p2))
+    out = {
+        "frame": args.frame,
+        "rotation": np.asarray(r).tolist(),
+        "translation": np.asarray(t).tolist(),
+        "markers": [n for n, k in zip(marker_names, keep) if k],
+    }
+    _write_or_print(out, args.output)
+    return 0
+
+
+def _cmd_calibrate(args):
+    """One/two-vanishing-point camera calibration (ref: the
+    mmCameraCalibrate node + calibratecamera tool,
+    src/mmSolver/node/MMCameraCalibrateNode.cpp:194,
+    src/mmSolver/calibrate/vanishing_point.h:42-70).
+
+    Point coordinates are in marker space ([-0.5, 0.5] across the film
+    back width, y up), the same space the vanishing module and marker
+    files use."""
+    from mayamatchmovesolver_tpu.core.constants import RotateOrder
+    from mayamatchmovesolver_tpu.core.transform import matrix_to_euler
+    from mayamatchmovesolver_tpu.sfm import vanishing
+
+    common = dict(
+        focal_length_mm=args.focal_length,
+        film_back_width_mm=args.film_back_width,
+        film_back_height_mm=args.film_back_height,
+        origin_point=np.asarray(args.origin_point, np.float64),
+        principal_point=np.asarray(args.principal_point, np.float64),
+        scene_scale_mode=vanishing.SceneScaleMode(args.scene_scale_mode),
+        scene_scale_distance_cm=args.scene_scale_distance,
+    )
+    if args.vanishing_point_b is not None:
+        calib = vanishing.calibrate_two_vanishing_points(
+            vanishing_point_a=np.asarray(args.vanishing_point_a,
+                                         np.float64),
+            vanishing_point_b=np.asarray(args.vanishing_point_b,
+                                         np.float64),
+            **common,
+        )
+    elif args.horizon is not None:
+        calib = vanishing.calibrate_one_vanishing_point(
+            vanishing_point_a=np.asarray(args.vanishing_point_a,
+                                         np.float64),
+            horizon_point_a=np.asarray(args.horizon[:2], np.float64),
+            horizon_point_b=np.asarray(args.horizon[2:], np.float64),
+            **common,
+        )
+    else:
+        raise SystemExit(
+            "need either --vanishing-point-b or --horizon"
+        )
+    rot = np.asarray(calib.rotation_matrix)
+    out = {
+        "ok": bool(calib.ok),
+        "focal_length_mm": float(calib.focal_length_mm),
+        "rotation_matrix": rot.tolist(),
+        "rotation_euler_xyz_deg": [
+            float(v)
+            for v in np.asarray(
+                matrix_to_euler(jnp_array(rot), int(RotateOrder.XYZ))
+            )
+        ],
+        "position": np.asarray(calib.translation).tolist(),
+    }
+    _write_or_print(out, args.output)
+    return 0 if out["ok"] else 1
+
+
+def jnp_array(x):
+    import jax.numpy as jnp
+
+    return jnp.asarray(x)
+
+
+def _write_or_print(out, output_path):
+    text = json.dumps(out, indent=1)
+    if output_path:
+        with open(output_path, "w") as f:
+            f.write(text)
+        print("wrote %s" % output_path)
+    else:
+        print(text)
+
+
 def _cmd_image_info(args):
     """Width/height/pixel query (ref: the mmReadImage command,
     src/mmSolver/cmd/MMReadImageCmd.cpp:49)."""
@@ -373,6 +605,67 @@ def main(argv=None):
     p.add_argument("--film-back-height", type=float, default=24.0)
     p.add_argument("--output", default=None)
 
+    sub.add_parser("solver-types", help="list solver backends")
+
+    def add_two_frame_args(p):
+        p.add_argument("--markers", required=True)
+        p.add_argument("--frame-a", type=int, required=True)
+        p.add_argument("--frame-b", type=int, required=True)
+        p.add_argument("--image-width", type=int, default=1920)
+        p.add_argument("--image-height", type=int, default=1080)
+        p.add_argument("--focal-length", type=float, default=35.0)
+        p.add_argument("--film-back-width", type=float, default=36.0)
+        p.add_argument("--film-back-height", type=float, default=24.0)
+        p.add_argument("--output", default=None)
+
+    p = sub.add_parser(
+        "relative-pose",
+        help="two-view relative pose from shared markers",
+    )
+    add_two_frame_args(p)
+
+    p = sub.add_parser(
+        "homography", help="homography between two frames' markers"
+    )
+    add_two_frame_args(p)
+
+    p = sub.add_parser(
+        "pose-from-points",
+        help="camera pose from known 3D points at a frame",
+    )
+    p.add_argument("--markers", required=True)
+    p.add_argument("--points", required=True,
+                   help="JSON (P, 3) array or camera-solve output")
+    p.add_argument("--frame", type=int, required=True)
+    p.add_argument("--image-width", type=int, default=1920)
+    p.add_argument("--image-height", type=int, default=1080)
+    p.add_argument("--focal-length", type=float, default=35.0)
+    p.add_argument("--film-back-width", type=float, default=36.0)
+    p.add_argument("--film-back-height", type=float, default=24.0)
+    p.add_argument("--output", default=None)
+
+    p = sub.add_parser(
+        "calibrate",
+        help="vanishing-point camera calibration",
+    )
+    p.add_argument("--origin-point", type=float, nargs=2, required=True,
+                   metavar=("X", "Y"))
+    p.add_argument("--principal-point", type=float, nargs=2,
+                   default=(0.0, 0.0), metavar=("X", "Y"))
+    p.add_argument("--vanishing-point-a", type=float, nargs=2,
+                   required=True, metavar=("X", "Y"))
+    p.add_argument("--vanishing-point-b", type=float, nargs=2,
+                   default=None, metavar=("X", "Y"))
+    p.add_argument("--horizon", type=float, nargs=4, default=None,
+                   metavar=("AX", "AY", "BX", "BY"),
+                   help="horizon line points for one-VP mode")
+    p.add_argument("--focal-length", type=float, default=35.0)
+    p.add_argument("--film-back-width", type=float, default=36.0)
+    p.add_argument("--film-back-height", type=float, default=24.0)
+    p.add_argument("--scene-scale-mode", type=int, default=0)
+    p.add_argument("--scene-scale-distance", type=float, default=1.0)
+    p.add_argument("--output", default=None)
+
     p = sub.add_parser("image-info",
                        help="query image width/height/pixel")
     p.add_argument("path")
@@ -400,6 +693,16 @@ def main(argv=None):
         return _cmd_image_info(args)
     if args.command == "image-convert":
         return _cmd_image_convert(args)
+    if args.command == "solver-types":
+        return _cmd_solver_types(args)
+    if args.command == "relative-pose":
+        return _cmd_relative_pose(args)
+    if args.command == "homography":
+        return _cmd_homography(args)
+    if args.command == "pose-from-points":
+        return _cmd_pose_from_points(args)
+    if args.command == "calibrate":
+        return _cmd_calibrate(args)
     parser.error("unknown command")
 
 

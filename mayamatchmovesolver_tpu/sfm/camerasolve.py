@@ -45,6 +45,13 @@ def markers_to_bearings(marker_xy, focal_length_mm, film_back_width_mm,
     marker scaling keeps observations in the same space).  The SfM math
     runs in the right-handed OpenCV frame (x right, y DOWN, z forward),
     hence the sign flip on v.
+
+    Two input conventions are valid and give identical bearings under
+    horizontal film fit: film-fit-scaled screen space paired with the
+    true render aspect, or raw marker space paired with the film-back
+    aspect (fbw/fbh) — because raw marker y is film-back-normalized
+    (y_cam/(-z) = marker_y * fbh / focal).  Mixing them distorts the
+    y bearings anisotropically.
     """
     u = marker_xy[..., 0] * film_back_width_mm / focal_length_mm
     v = -marker_xy[..., 1] * film_back_width_mm / (
