@@ -297,9 +297,13 @@ def _cmd_solver_types(args):
     return 0
 
 
-def _two_frame_bearings(args):
+def _two_frame_bearings(args, min_shared):
     """Correspondences between two frames of a markers file, as
-    normalized CV bearings (markers enabled on both frames only)."""
+    normalized CV bearings (markers enabled on both frames only).
+
+    min_shared: smallest usable correspondence count for the calling
+    command (8 for the essential-matrix RANSAC which samples 8 points
+    without replacement; 4 for homography DLT)."""
     from mayamatchmovesolver_tpu.sfm import camerasolve
 
     _, mkr_data = _load_markers(
@@ -316,9 +320,10 @@ def _two_frame_bearings(args):
             % (args.frame_a, args.frame_b, start, end)
         )
     both = (enable[:, ia] > 0.5) & (enable[:, ib] > 0.5)
-    if both.sum() < 4:
+    if both.sum() < min_shared:
         raise SystemExit(
-            "only %d markers enabled on both frames" % int(both.sum())
+            "only %d markers enabled on both frames (need >= %d)"
+            % (int(both.sum()), min_shared)
         )
     # Raw marker space pairs with the film-back aspect (screen space
     # would pair with the render aspect — see markers_to_bearings).
@@ -339,9 +344,9 @@ def _cmd_relative_pose(args):
     matrix + pose; here hypothesis-parallel vmapped RANSAC)."""
     from mayamatchmovesolver_tpu.sfm import twoview
 
-    pts_a, pts_b, names = _two_frame_bearings(args)
+    pts_a, pts_b, names = _two_frame_bearings(args, min_shared=8)
     pose = twoview.robust_relative_pose(
-        jnp_array(pts_a), jnp_array(pts_b)
+        _jnp_array(pts_a), _jnp_array(pts_b)
     )
     inliers = np.asarray(pose.inliers)
     out = {
@@ -362,13 +367,13 @@ def _cmd_homography(args):
     mmMarkerHomography command, MMMarkerHomographyCmd.cpp)."""
     from mayamatchmovesolver_tpu.sfm import twoview
 
-    pts_a, pts_b, names = _two_frame_bearings(args)
+    pts_a, pts_b, names = _two_frame_bearings(args, min_shared=4)
     h = np.asarray(
-        twoview.estimate_homography(jnp_array(pts_a), jnp_array(pts_b))
+        twoview.estimate_homography(_jnp_array(pts_a), _jnp_array(pts_b))
     )
     err = np.asarray(
         twoview.homography_transfer_error(
-            jnp_array(h), jnp_array(pts_a), jnp_array(pts_b)
+            _jnp_array(h), _jnp_array(pts_a), _jnp_array(pts_b)
         )
     )
     out = {
@@ -401,11 +406,23 @@ def _cmd_pose_from_points(args):
     with open(args.points) as f:
         pts_data = json.load(f)
     names = None
+    point_valid = None
     if isinstance(pts_data, dict):
         block = pts_data.get("points", pts_data)
-        names = block.get("names") if isinstance(block, dict) else None
-        pts_data = block["positions"] if isinstance(block, dict) else block
+        if isinstance(block, dict):
+            names = block.get("names")
+            point_valid = block.get("valid")
+            pts_data = block["positions"]
+        else:
+            pts_data = block
     points3d = np.asarray(pts_data, np.float64)
+    if args.points_convention == "maya":
+        # camera-solve emits Maya-world points (p_m = S p_cv with
+        # S = diag(1,-1,-1), camerasolve.py); resection runs in the
+        # CV frame, so map them back before the DLT.
+        points3d = points3d * np.array([1.0, -1.0, -1.0])
+    if point_valid is None:
+        point_valid = [True] * points3d.shape[0]
 
     marker_names = [md.name for md in mkr_data]
     if names is not None:
@@ -414,8 +431,11 @@ def _cmd_pose_from_points(args):
     else:
         rows = list(range(min(len(marker_names), points3d.shape[0])))
         rows += [-1] * (len(marker_names) - len(rows))
+    # Unsolved/culled bundles (valid=false in camera-solve output) hold
+    # zeros/garbage; the DLT has no RANSAC, so drop them up front.
     keep = np.array(
-        [r >= 0 and enable[i, fi] > 0.5 for i, r in enumerate(rows)]
+        [r >= 0 and bool(point_valid[r]) and enable[i, fi] > 0.5
+         for i, r in enumerate(rows)]
     )
     if keep.sum() < 6:
         raise SystemExit(
@@ -429,11 +449,32 @@ def _cmd_pose_from_points(args):
             args.film_back_width, aspect,
         )
     )
-    r, t = twoview.resection_pose(jnp_array(p3), jnp_array(p2))
+    r, t = twoview.resection_pose(_jnp_array(p3), _jnp_array(p2))
+    r = np.asarray(r)
+    t = np.asarray(t)
+    # Reject gross outliers by reprojection error and re-resect once
+    # (resection_pose itself is not robust).
+    proj = p3 @ r.T + t
+    pred = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-12)
+    err = np.linalg.norm(pred - p2, axis=-1)
+    thresh = max(4.0 * np.median(err), 1e-6)
+    inlier = (err <= thresh) & (proj[:, 2] > 0.0)
+    if inlier.sum() >= 6 and inlier.sum() < inlier.size:
+        r, t = twoview.resection_pose(
+            _jnp_array(p3[inlier]), _jnp_array(p2[inlier])
+        )
+        r = np.asarray(r)
+        t = np.asarray(t)
+    # Maya-convention camera placement alongside the raw CV pose
+    # (same mapping camera-solve uses, camerasolve.py:319-331).
+    s = np.diag([1.0, -1.0, -1.0])
     out = {
         "frame": args.frame,
-        "rotation": np.asarray(r).tolist(),
-        "translation": np.asarray(t).tolist(),
+        "convention": "cv",
+        "rotation": r.tolist(),
+        "translation": t.tolist(),
+        "camera_position_maya": (s @ (-r.T @ t)).tolist(),
+        "camera_rotation_maya": (s @ r.T @ s).tolist(),
         "markers": [n for n, k in zip(marker_names, keep) if k],
     }
     _write_or_print(out, args.output)
@@ -462,6 +503,11 @@ def _cmd_calibrate(args):
         scene_scale_mode=vanishing.SceneScaleMode(args.scene_scale_mode),
         scene_scale_distance_cm=args.scene_scale_distance,
     )
+    if args.vanishing_point_b is not None and args.horizon is not None:
+        raise SystemExit(
+            "--vanishing-point-b and --horizon are mutually exclusive: "
+            "two-VP mode derives the horizon from the vanishing points"
+        )
     if args.vanishing_point_b is not None:
         calib = vanishing.calibrate_two_vanishing_points(
             vanishing_point_a=np.asarray(args.vanishing_point_a,
@@ -490,7 +536,7 @@ def _cmd_calibrate(args):
         "rotation_euler_xyz_deg": [
             float(v)
             for v in np.asarray(
-                matrix_to_euler(jnp_array(rot), int(RotateOrder.XYZ))
+                matrix_to_euler(_jnp_array(rot), int(RotateOrder.XYZ))
             )
         ],
         "position": np.asarray(calib.translation).tolist(),
@@ -499,7 +545,7 @@ def _cmd_calibrate(args):
     return 0 if out["ok"] else 1
 
 
-def jnp_array(x):
+def _jnp_array(x):
     import jax.numpy as jnp
 
     return jnp.asarray(x)
@@ -636,6 +682,11 @@ def main(argv=None):
     p.add_argument("--markers", required=True)
     p.add_argument("--points", required=True,
                    help="JSON (P, 3) array or camera-solve output")
+    p.add_argument("--points-convention", choices=["maya", "cv"],
+                   default="maya",
+                   help="frame of the 3D points: 'maya' (y up, z toward"
+                        " viewer — what camera-solve writes; default) or"
+                        " 'cv' (y down, z forward)")
     p.add_argument("--frame", type=int, required=True)
     p.add_argument("--image-width", type=int, default=1920)
     p.add_argument("--image-height", type=int, default=1080)

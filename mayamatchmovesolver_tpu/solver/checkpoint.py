@@ -73,3 +73,31 @@ def load_solve_state(file_path):
         params = np.asarray(data["params"])
         metadata = json.loads(str(data["metadata"]))
     return attrs, (params if params.size else None), metadata
+
+
+def save_lm_state(file_path, state, metadata=None):
+    """Checkpoint a full resumable LM state (solver/lm.py LMState —
+    the per-iteration-block state the chunked driver passes between
+    dispatches).  Resume by loading and feeding it back into
+    lm.lm_run_block (TPU equivalent of SURVEY §5 "checkpoint of the
+    parameter vector + solver state per LM iteration block")."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    np.savez_compressed(
+        file_path,
+        format_version=FORMAT_VERSION,
+        metadata=json.dumps(metadata or {}),
+        **{"lm_" + k: v for k, v in arrays.items()},
+    )
+
+
+def load_lm_state(file_path):
+    """Returns (LMState, metadata dict)."""
+    from mayamatchmovesolver_tpu.solver import lm as lm_mod
+
+    with np.load(file_path, allow_pickle=False) as data:
+        fields = {
+            f: jnp.asarray(data["lm_" + f])
+            for f in lm_mod.LMState._fields
+        }
+        metadata = json.loads(str(data["metadata"]))
+    return lm_mod.LMState(**fields), metadata

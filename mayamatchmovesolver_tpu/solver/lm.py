@@ -62,6 +62,11 @@ class _State(NamedTuple):
     stop: jax.Array
 
 
+# Public alias: the resumable-solve state passed between lm_init /
+# lm_run_block dispatches (and serialized by solver/checkpoint.py).
+LMState = _State
+
+
 def _make_normal_system(residual_fn, mode):
     """residual + JtJ + Jtr in one pass.
 
@@ -103,18 +108,14 @@ def _solve_damped(jtj, jtr, mu, diag_floor=1e-12):
     return linalg.solve_spd(a, -jtr)
 
 
-def levenberg_marquardt(
-    residual_fn: Callable, x0, config: LMConfig = LMConfig()
-) -> LMResult:
-    """Minimize 0.5*||residual_fn(x)||^2.  Jittable end-to-end."""
+def lm_init(residual_fn: Callable, x0, config: LMConfig = LMConfig()):
+    """Initial LM state: residual + normal system at x0.  Jittable."""
     normal_system = _make_normal_system(residual_fn, config.jacobian_mode)
     x0 = jnp.asarray(x0)
-
     r0, jtj0, jtr0 = normal_system(x0)
     cost0 = 0.5 * jnp.sum(r0 * r0)
     mu0 = config.tau * jnp.max(jnp.diag(jtj0))
-
-    init = _State(
+    return _State(
         x=x0,
         r=r0,
         jtj=jtj0,
@@ -128,8 +129,63 @@ def levenberg_marquardt(
         stop=jnp.asarray(0, jnp.int32),
     )
 
+
+def lm_run_block(
+    residual_fn: Callable,
+    state: _State,
+    config: LMConfig = LMConfig(),
+    iteration_limit=None,
+) -> _State:
+    """Run LM iterations until convergence or `iteration_limit` total
+    iterations (a dynamic scalar — the same compiled program serves
+    every block).  Resumable: feed the returned state back in with a
+    larger limit.  This is the cooperative-interruption primitive the
+    reference gets from checking MComputation::isInterruptRequested
+    inside its residual callback (adjust_solveFunc.cpp:567-571): the
+    host regains control between blocks with the full solver state.
+    """
+    normal_system = _make_normal_system(residual_fn, config.jacobian_mode)
+    if iteration_limit is None:
+        iteration_limit = config.max_iterations
+    limit = jnp.minimum(
+        jnp.asarray(iteration_limit, jnp.int32), config.max_iterations
+    )
+
     def cond(s: _State):
-        return (s.stop == 0) & (s.it < config.max_iterations)
+        return (s.stop == 0) & (s.it < limit)
+
+    body = _make_body(normal_system, config)
+    return jax.lax.while_loop(cond, body, state)
+
+
+def lm_finalize(state: _State, cost_initial) -> LMResult:
+    """Wrap a (possibly interrupted) state as an LMResult."""
+    stop = jnp.where(state.stop == 0, 4, state.stop)
+    return LMResult(
+        x=state.x,
+        residuals=state.r,
+        cost=state.cost,
+        cost_initial=cost_initial,
+        iterations=state.it,
+        func_evals=state.nfev,
+        jacobian_evals=state.njev,
+        stop_reason=stop,
+        gradient_norm=jnp.max(jnp.abs(state.jtr)),
+    )
+
+
+def levenberg_marquardt(
+    residual_fn: Callable, x0, config: LMConfig = LMConfig()
+) -> LMResult:
+    """Minimize 0.5*||residual_fn(x)||^2.  Jittable end-to-end."""
+    state = lm_init(residual_fn, x0, config)
+    final = lm_run_block(residual_fn, state, config)
+    return lm_finalize(final, state.cost)
+
+
+def _make_body(normal_system, config: LMConfig):
+    """One LM iteration (the while_loop body), shared by the fused and
+    the block-resumable drivers."""
 
     def body(s: _State):
         dx = _solve_damped(s.jtj, s.jtr, s.mu)
@@ -201,16 +257,4 @@ def levenberg_marquardt(
             stop=stop,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
-    stop = jnp.where(final.stop == 0, 4, final.stop)
-    return LMResult(
-        x=final.x,
-        residuals=final.r,
-        cost=final.cost,
-        cost_initial=cost0,
-        iterations=final.it,
-        func_evals=final.nfev,
-        jacobian_evals=final.njev,
-        stop_reason=stop,
-        gradient_norm=jnp.max(jnp.abs(final.jtr)),
-    )
+    return body

@@ -12,7 +12,7 @@ import dataclasses
 import enum
 import functools
 import time
-from typing import Optional, Sequence
+from typing import Callable, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -64,6 +64,20 @@ class SolverOptions:
     # (ref: the solverType flag + MMSOLVER_DEFAULT_SOLVER env override,
     # adjust_base.cpp:80-127).
     solver_type: Optional[int] = None
+    # Cooperative interruption / progress reporting for long solves
+    # (ref: MComputation::isInterruptRequested polled inside the
+    # residual callback and Jacobian loop, adjust_solveFunc.cpp:567-571,
+    # 321-325; per-iteration progress lines, adjust_solveFunc.cpp:616).
+    # When any of these is set, the LM runs in blocks of
+    # `callback_interval` iterations per device dispatch; between
+    # blocks the host calls iteration_callback(iteration, cost),
+    # checks interrupt_check() and the max_seconds wall-clock budget.
+    # An interrupted solve returns the best parameters found so far
+    # with result.user_interrupted = True.
+    iteration_callback: Optional[Callable] = None
+    interrupt_check: Optional[Callable] = None
+    max_seconds: Optional[float] = None
+    callback_interval: int = 5
 
 
 def _lm_config(options: SolverOptions):
@@ -308,6 +322,72 @@ def _solve_problem_sharded(problem, config_static_tuple):
     return lm_result, attrs_out, aux0, aux1
 
 
+def _config_from_tuple(config_static_tuple):
+    (max_it, tau, eps1, eps2, eps3, jac_mode) = config_static_tuple
+    return lm_mod.LMConfig(
+        max_iterations=max_it, tau=tau, eps1=eps1, eps2=eps2, eps3=eps3,
+        jacobian_mode=jac_mode,
+    )
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _lm_init_jit(problem, config_static_tuple):
+    config = _config_from_tuple(config_static_tuple)
+    fn = problem_mod.residual_fn(problem)
+    x0 = problem_mod.initial_parameters(problem)
+    _, aux0 = problem_mod.measure_residuals(problem, problem.attrs)
+    return lm_mod.lm_init(fn, x0, config), aux0
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _lm_block_jit(problem, config_static_tuple, state, limit):
+    config = _config_from_tuple(config_static_tuple)
+    fn = problem_mod.residual_fn(problem)
+    return lm_mod.lm_run_block(fn, state, config, limit)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _lm_finalize_jit(problem, config_static_tuple, state, cost0):
+    result = lm_mod.lm_finalize(state, cost0)
+    attrs_out = problem_mod.insert_parameters(problem, result.x)
+    _, aux1 = problem_mod.measure_residuals(problem, attrs_out)
+    return result, attrs_out, aux1
+
+
+def _solve_problem_chunked(problem, config_static_tuple, options):
+    """Block-resumable LM driver: `callback_interval` iterations per
+    dispatch, host control between blocks (progress callback, user
+    interruption, wall-clock budget).  One compiled program serves all
+    blocks — the iteration limit is a dynamic operand.
+    """
+    max_it = int(config_static_tuple[0])
+    block = max(1, int(options.callback_interval))
+    state, aux0 = _lm_init_jit(problem, config_static_tuple)
+    cost0 = state.cost
+    t_start = time.perf_counter()
+    interrupted = False
+    it_done = 0
+    while it_done < max_it and int(state.stop) == 0:
+        limit = jnp.asarray(min(it_done + block, max_it), jnp.int32)
+        state = _lm_block_jit(problem, config_static_tuple, state, limit)
+        jax.block_until_ready(state.x)
+        it_done = int(state.it)
+        if options.iteration_callback is not None:
+            options.iteration_callback(it_done, float(state.cost))
+        if (options.interrupt_check is not None
+                and options.interrupt_check()):
+            interrupted = True
+            break
+        if (options.max_seconds is not None
+                and time.perf_counter() - t_start > options.max_seconds):
+            interrupted = True
+            break
+    lm_result, attrs_out, aux1 = _lm_finalize_jit(
+        problem, config_static_tuple, state, cost0
+    )
+    return lm_result, attrs_out, aux0, aux1, interrupted
+
+
 @functools.partial(jax.jit, static_argnums=1)
 def _solve_problem_jit(problem, config_static_tuple):
     """One fully-fused solve.  config is rebuilt from a hashable tuple so
@@ -374,7 +454,18 @@ def solve(
 
     t0 = time.perf_counter()
     solver_type = _resolve_solver_type(options, problem)
-    if solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
+    interrupted = False
+    has_hooks = (
+        options.iteration_callback is not None
+        or options.interrupt_check is not None
+        or options.max_seconds is not None
+    )
+    if has_hooks:
+        # Host hooks need control between iteration blocks; the
+        # chunked dense driver provides it regardless of backend.
+        (lm_result, attrs_out, aux0, aux1,
+         interrupted) = _solve_problem_chunked(problem, cfg, options)
+    elif solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
         lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
             problem, cfg
         )
@@ -401,6 +492,11 @@ def solve(
     result.reason_string = results_mod.STOP_REASON_MESSAGES.get(
         result.stop_reason, ""
     )
+    result.user_interrupted = interrupted
+    if interrupted:
+        # (ref: interrupted solves keep the best state found so far,
+        # adjust_base.cpp solverFrames early-out on isInterruptRequested.)
+        result.reason_string = "user interrupted"
     if reverted:
         result.reason_string += " (reverted: no improvement)"
     result.iterations = int(lm_result.iterations)

@@ -342,6 +342,7 @@ def test_pose_from_points_verb(tmp_path):
         }}, f)
     rc = cli.main([
         "pose-from-points", "--markers", uv_path, "--points", pts_path,
+        "--points-convention", "cv",
         "--frame", "3", "--output", out_path,
     ])
     assert rc == 0
@@ -366,6 +367,98 @@ def test_pose_from_points_verb(tmp_path):
     np.testing.assert_allclose(
         pc[:, :2] / pc[:, 2:], bearings, atol=1e-6
     )
+
+
+def test_pose_from_points_maya_convention_and_valid(tmp_path):
+    """camera-solve-style input: Maya-world points + 'valid' flags.
+    Culled bundles (valid=false, garbage positions) must be dropped and
+    the Maya->CV conversion applied (ADVICE round 2)."""
+    from mayamatchmovesolver_tpu.sfm import camerasolve
+
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    pts_path = os.path.join(tmp_path, "points.json")
+    out_path = os.path.join(tmp_path, "resection.json")
+    sg, cam, bundles = _write_uvtrack(
+        uv_path, n_frames=6, n_markers=10, with_3d=False
+    )
+    # camera-solve output convention: Maya world points, two of them
+    # unsolved garbage flagged valid=false.
+    maya_pts = bundles.copy()
+    maya_pts[3] = [99.0, -99.0, 99.0]
+    maya_pts[7] = [0.0, 0.0, 0.0]
+    valid = [True] * 10
+    valid[3] = valid[7] = False
+    with open(pts_path, "w") as f:
+        json.dump({"points": {
+            "positions": maya_pts.tolist(),
+            "valid": valid,
+            "names": ["m%d" % i for i in range(10)],
+        }}, f)
+    rc = cli.main([
+        "pose-from-points", "--markers", uv_path, "--points", pts_path,
+        "--frame", "3", "--output", out_path,
+    ])
+    assert rc == 0
+    with open(out_path) as f:
+        result = json.load(f)
+    assert result["convention"] == "cv"
+    assert sorted(result["markers"]) == sorted(
+        "m%d" % i for i in range(10) if valid[i]
+    )
+    r = np.asarray(result["rotation"])
+    t = np.asarray(result["translation"])
+    # The recovered pose must reproject the good CV points onto the
+    # observed bearings despite the garbage rows being present.
+    cv_pts = bundles * np.array([1.0, -1.0, -1.0])
+    from mayamatchmovesolver_tpu.io import read as read_markers
+    _, mkr_data = read_markers(uv_path, image_width=1920,
+                               image_height=1080)
+    uv = np.array([
+        [md.x.get_value(3) - 0.5, md.y.get_value(3) - 0.5]
+        for md in mkr_data
+    ])
+    bearings = np.asarray(camerasolve.markers_to_bearings(
+        uv, 35.0, 36.0, 36.0 / 24.0
+    ))
+    good = np.asarray(valid)
+    pc = cv_pts[good] @ r.T + t
+    np.testing.assert_allclose(
+        pc[:, :2] / pc[:, 2:], bearings[good], atol=1e-6
+    )
+    # And the Maya-convention camera block round-trips through the
+    # same mapping camera-solve uses.
+    s = np.diag([1.0, -1.0, -1.0])
+    np.testing.assert_allclose(
+        np.asarray(result["camera_position_maya"]),
+        s @ (-r.T @ t), atol=1e-12,
+    )
+
+
+def test_relative_pose_too_few_shared_markers(tmp_path):
+    """4-7 shared markers: clean SystemExit, not a raw jax sampling
+    error (ADVICE round 2)."""
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    _write_uvtrack(uv_path, n_frames=4, n_markers=5, with_3d=False)
+    with pytest.raises(SystemExit) as exc_info:
+        cli.main([
+            "relative-pose", "--markers", uv_path,
+            "--frame-a", "1", "--frame-b", "4",
+        ])
+    assert "need >= 8" in str(exc_info.value)
+
+
+def test_calibrate_rejects_both_vp_b_and_horizon(tmp_path):
+    """--vanishing-point-b + --horizon together is ambiguous: error out
+    instead of silently dropping the horizon (ADVICE round 2)."""
+    with pytest.raises(SystemExit) as exc_info:
+        cli.main([
+            "calibrate",
+            "--origin-point", "0", "0",
+            "--vanishing-point-a", "0.3", "0.1",
+            "--vanishing-point-b", "-0.4", "0.05",
+            "--horizon", "-0.5", "0.0", "0.5", "0.0",
+        ])
+    assert "mutually exclusive" in str(exc_info.value)
 
 
 def test_calibrate_verb_two_vps(tmp_path, capsys):
