@@ -64,7 +64,14 @@ def _emit(metric, value, unit, baseline, **extra):
 def _synthetic_tracked_scene(num_frames, num_bundles, focal=35.0,
                              lens_distortion=None, seed=7):
     """Scene with an animated camera, random bundles, markers tracking
-    the exact projections; returns (scene, attrs, sg, cam, bundles)."""
+    the exact projections; returns (scene, attrs, sg, cam, bundles).
+
+    Scene synthesis runs on the LOCAL CPU backend: on the tunneled TPU
+    every extra program is a minutes-long remote compile, and the
+    synthesis is not what the benchmark measures.  The solve programs
+    still compile and run on the default (TPU) backend.
+    """
+    import jax
     import jax.numpy as jnp
 
     from mayamatchmovesolver_tpu.core.constants import FilmFit
@@ -72,6 +79,8 @@ def _synthetic_tracked_scene(num_frames, num_bundles, focal=35.0,
     from mayamatchmovesolver_tpu.scene.flatscene import (
         set_marker_screen_positions,
     )
+
+    cpu = jax.devices("cpu")[0]
 
     rng = np.random.RandomState(seed)
     sg = SceneGraph(frame_range=(1, num_frames), dtype=np.float32)
@@ -110,18 +119,19 @@ def _synthetic_tracked_scene(num_frames, num_bundles, focal=35.0,
             tx=np.zeros(num_frames), ty=np.zeros(num_frames),
         )
     scene, attrs = sg.bake()
-    ev = evaluate(scene, attrs, jnp.arange(num_frames))
-    point_xy = ev.point_xy
-    if lens is not None:
-        from mayamatchmovesolver_tpu.models import scenelens
+    with jax.default_device(cpu):
+        ev = evaluate(scene, attrs, jnp.arange(num_frames))
+        point_xy = ev.point_xy
+        if lens is not None:
+            from mayamatchmovesolver_tpu.models import scenelens
 
-        point_xy = scenelens.apply_scene_lens(
-            lens, scene, attrs, jnp.arange(num_frames), point_xy,
-            scene.mkr_cam_index, direction="distort",
+            point_xy = scenelens.apply_scene_lens(
+                lens, scene, attrs, jnp.arange(num_frames), point_xy,
+                scene.mkr_cam_index, direction="distort",
+            )
+        attrs = set_marker_screen_positions(
+            scene, attrs, jnp.arange(num_frames), point_xy
         )
-    attrs = set_marker_screen_positions(
-        scene, attrs, jnp.arange(num_frames), point_xy
-    )
     return scene, attrs, sg, cam, bundles, lens
 
 
@@ -232,6 +242,7 @@ def bench_pose_solve():
 
 def _synthetic_ba_problem(num_frames, num_bundles, seed=3, perturb=0.03,
                           solve_focal=False):
+    import jax
     import jax.numpy as jnp
 
     from mayamatchmovesolver_tpu.solver import ba
@@ -261,9 +272,12 @@ def _synthetic_ba_problem(num_frames, num_bundles, seed=3, perturb=0.03,
         bnd_params=bnd_true,
         solve_focal=solve_focal,
     )
-    r, _, _ = ba._residual_and_blocks(
-        problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
-    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        # Ground-truth synthesis on the local CPU backend (see
+        # _synthetic_tracked_scene).
+        r, _, _ = ba._residual_and_blocks(
+            problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
+        )
     uv_true = -np.asarray(r) / problem0.image_width
     return problem0._replace(
         marker_uv=jnp.asarray(uv_true),

@@ -168,6 +168,17 @@ class AttrBlockBuilder:
         else:
             self._anim[idx][int(frame)] = float(value)
 
+    def get_value(self, code, frame=None):
+        """Read an attribute pre-bake (Attr::getValue counterpart,
+        ref: maya_attr.h:304).  Static -> scalar; animated -> the
+        per-frame array, or the scalar at `frame`."""
+        idx = code_index(code)
+        if is_static_code(code):
+            return self._static[idx]
+        if frame is None:
+            return self._anim[idx].copy()
+        return float(self._anim[idx][int(frame)])
+
     def bake(self, dtype=None):
         dtype = dtype or self.dtype
         static = np.asarray(self._static, dtype=dtype)

@@ -206,6 +206,16 @@ class SceneGraph:
             code = self._attr_builder.add(value)
             node.attrs[attr_name] = Attribute(node, attr_name, code)
 
+    def set_value(self, attr, value, frame=None):
+        """Edit an attribute value before bake (Attr::setValue
+        counterpart, ref: src/mmSolver/mayahelper/maya_attr.h:304)."""
+        self._attr_builder.set_value(attr.code, value, frame=frame)
+
+    def get_value(self, attr, frame=None):
+        """Read an attribute value pre-bake (Attr::getValue
+        counterpart)."""
+        return self._attr_builder.get_value(attr.code, frame=frame)
+
     def _register_transform(self, node):
         if node.parent is not None and node.parent.index is None:
             raise ValueError("parent must be created before child")

@@ -16,6 +16,8 @@ Module map (reference tool package -> module here):
   averagemarker, duplicatemarker, markerbundlerename -> tools.markertools
   setcameraoriginframe          -> tools.originframe
   raycastmarker                 -> tools.raycast
+  createimageplane              -> tools.imageplane
+  showdeviationcurves (marker deviation attrs) -> tools.deviation
   triangulatebundle             -> solver.strategies.SolverTriangulate
   loadlens / savelensfile       -> io.lensfile
   loadmarker / savemarkerfile   -> io.uvtrack + io.formatmanager
@@ -25,6 +27,8 @@ Module map (reference tool package -> module here):
 from mayamatchmovesolver_tpu.tools import (  # noqa: F401
     attributebake,
     centertwodee,
+    deviation,
+    imageplane,
     markertools,
     originframe,
     raycast,
