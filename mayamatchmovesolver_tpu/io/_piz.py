@@ -525,12 +525,22 @@ def _huf_decode(codes, fast_len, fast_lit, longs, data, nbits, rlc,
     return out
 
 
-def huf_compress(data):
+def huf_compress(data, use_native=True):
     """data: uint16 array.  Returns the reference-layout blob:
     [im u32][iM u32][tableLength u32][nBits u32][future u32=0]
-    [packed table][bit data]."""
+    [packed table][bit data].
+
+    Prefers the C++ codec in native/libmmtpu_native.so (the per-symbol
+    loops are the hot path for production-size chunks — the
+    reference's equivalent lives in the Rust exr crate); the Python
+    implementation below is the always-available fallback and the
+    parity oracle."""
     if data.size == 0:
         return b""
+    if use_native:
+        blob = _native_huf_compress(data)
+        if blob is not None:
+            return blob
     freq = np.bincount(data, minlength=HUF_ENCSIZE).astype(np.int64)
     codes, i_min, i_max = _huf_build_enc_table(freq)
     table = _huf_pack_enc_table(codes, i_min, i_max)
@@ -539,11 +549,15 @@ def huf_compress(data):
     return header + table + bits
 
 
-def huf_uncompress(blob, n_out):
+def huf_uncompress(blob, n_out, use_native=True):
     if n_out == 0:
         return np.zeros(0, np.uint16)
     if len(blob) < 20:
         raise PizError("truncated huffman blob")
+    if use_native:
+        out = _native_huf_uncompress(blob, n_out)
+        if out is not None:
+            return out
     i_min, i_max, table_len, nbits, _ = struct.unpack_from("<5I", blob, 0)
     del table_len  # implied by the unpack walk, like the reference
     if i_min >= HUF_ENCSIZE or i_max >= HUF_ENCSIZE:
@@ -552,6 +566,25 @@ def huf_uncompress(blob, n_out):
     fast_len, fast_lit, longs = _huf_build_dec_table(codes, i_min, i_max)
     return _huf_decode(codes, fast_len, fast_lit, longs, blob[pos:],
                        nbits, i_max, n_out)
+
+
+def _native_huf_compress(data):
+    try:
+        from mayamatchmovesolver_tpu import native
+    except ImportError:  # pragma: no cover
+        return None
+    return native.huf_compress(data)
+
+
+def _native_huf_uncompress(blob, n_out):
+    try:
+        from mayamatchmovesolver_tpu import native
+    except ImportError:  # pragma: no cover
+        return None
+    try:
+        return native.huf_uncompress(blob, n_out)
+    except ValueError as e:
+        raise PizError(str(e))
 
 
 # ---------------------------------------------------------------------------

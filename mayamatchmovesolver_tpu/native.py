@@ -67,6 +67,25 @@ def load(auto_build=True):
         ctypes.c_int,
     ]
     lib.mmtpu_exr_write_rgba.restype = ctypes.c_int
+    try:
+        lib.mmtpu_huf_compress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+        ]
+        lib.mmtpu_huf_compress.restype = ctypes.c_long
+        lib.mmtpu_huf_uncompress.argtypes = [
+            ctypes.POINTER(ctypes.c_uint8),
+            ctypes.c_long,
+            ctypes.POINTER(ctypes.c_uint16),
+            ctypes.c_long,
+        ]
+        lib.mmtpu_huf_uncompress.restype = ctypes.c_int
+    except AttributeError:
+        # Older prebuilt library without the PIZ entry points; the
+        # Python codec in io/_piz.py remains the fallback.
+        pass
     _lib = lib
     return lib
 
@@ -160,3 +179,53 @@ def exr_write_rgba(path, image):
     )
     if rc != 0:
         raise OSError("native EXR write failed: %s" % path)
+
+
+def has_huffman():
+    """True if the loaded library exposes the PIZ Huffman codec."""
+    lib = load()
+    return lib is not None and hasattr(lib, "mmtpu_huf_compress")
+
+
+def huf_compress(data):
+    """Native PIZ Huffman compress (uint16 array -> bytes blob in the
+    ImfHuf layout), or None if the native codec is unavailable."""
+    lib = load()
+    if lib is None or not hasattr(lib, "mmtpu_huf_compress"):
+        return None
+    data = np.ascontiguousarray(data, dtype=np.uint16)
+    if data.size == 0:
+        return b""
+    # Worst case: every symbol emits a <=58-bit code + full table.
+    cap = 20 + (1 << 16) + data.size * 8 + 64
+    out = np.empty(cap, np.uint8)
+    n = lib.mmtpu_huf_compress(
+        data.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        data.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        cap,
+    )
+    if n < 0:
+        return None
+    return out[:n].tobytes()
+
+
+def huf_uncompress(blob, n_out):
+    """Native PIZ Huffman uncompress -> uint16 array, or None if the
+    native codec is unavailable.  Raises ValueError on corrupt data."""
+    lib = load()
+    if lib is None or not hasattr(lib, "mmtpu_huf_uncompress"):
+        return None
+    if n_out == 0:
+        return np.zeros(0, np.uint16)
+    blob_arr = np.frombuffer(blob, np.uint8)
+    out = np.empty(n_out, np.uint16)
+    rc = lib.mmtpu_huf_uncompress(
+        blob_arr.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        blob_arr.size,
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint16)),
+        n_out,
+    )
+    if rc != 0:
+        raise ValueError("native huffman decode failed (code %d)" % rc)
+    return out

@@ -258,9 +258,400 @@ void stmap_impl(const Model& model, DistortFn distort_fn,
     });
 }
 
+// ---------------------------------------------------------------------------
+// PIZ Huffman codec (OpenEXR ImfHuf.cpp semantics) — the hot half of
+// the PIZ pipeline; the wavelet/bitmap stages stay NumPy-vectorized in
+// io/_piz.py.  Bit-level layout identical to the Python implementation
+// (io/_piz.py) and the published format: 20-byte header
+// [im, iM, tableLength, nBits, 0], 6-bit packed code-length table with
+// zero-run codes 59-63, canonical codes, run-length pseudo-symbol iM.
+
+namespace huf {
+
+constexpr int ENCBITS = 16;
+constexpr int DECBITS = 14;
+constexpr int ENCSIZE = (1 << ENCBITS) + 1;
+constexpr int DECSIZE = 1 << DECBITS;
+constexpr int DECMASK = DECSIZE - 1;
+constexpr int SHORT_ZEROCODE_RUN = 59;
+constexpr int LONG_ZEROCODE_RUN = 63;
+constexpr int SHORTEST_LONG_RUN = 2 + LONG_ZEROCODE_RUN - SHORT_ZEROCODE_RUN;
+constexpr int LONGEST_LONG_RUN = 255 + SHORTEST_LONG_RUN;
+
+inline int code_len(uint64_t packed) { return int(packed & 63); }
+inline uint64_t code_bits(uint64_t packed) { return packed >> 6; }
+
+void canonical_code_table(std::vector<uint64_t>& hcode) {
+    uint64_t n[59] = {0};
+    for (int i = 0; i < ENCSIZE; ++i) n[hcode[i] & 63] += 1;
+    uint64_t c = 0;
+    for (int i = 58; i > 0; --i) {
+        uint64_t nc = (c + n[i]) >> 1;
+        n[i] = c;
+        c = nc;
+    }
+    for (int i = 0; i < ENCSIZE; ++i) {
+        uint64_t l = hcode[i] & 63;
+        if (l > 0) hcode[i] = l | (n[l]++ << 6);
+    }
+}
+
+struct BitWriter {
+    std::vector<uint8_t> out;
+    uint64_t c = 0;
+    int lc = 0;
+    void write(int nbits, uint64_t v) {
+        c = (c << nbits) | (v & ((1ull << nbits) - 1));
+        lc += nbits;
+        while (lc >= 8) {
+            lc -= 8;
+            out.push_back(uint8_t((c >> lc) & 0xFF));
+        }
+        c &= (1ull << lc) - 1;
+    }
+    void write_code(uint64_t packed) {
+        write(code_len(packed), code_bits(packed));
+    }
+    void flush() {
+        if (lc) out.push_back(uint8_t((c << (8 - lc)) & 0xFF));
+    }
+};
+
+struct BitReader {
+    const uint8_t* data;
+    long len;
+    long pos = 0;
+    uint64_t c = 0;
+    int lc = 0;
+    bool fail = false;
+    uint64_t read(int nbits) {
+        while (lc < nbits) {
+            if (pos >= len) {
+                fail = true;
+                return 0;
+            }
+            c = (c << 8) | data[pos++];
+            lc += 8;
+        }
+        lc -= nbits;
+        uint64_t v = (c >> lc) & ((1ull << nbits) - 1);
+        c &= (1ull << lc) - 1;
+        return v;
+    }
+};
+
+// Build canonical code lengths via the reference's heap merge with
+// chained symbol lists (ImfHuf hufBuildEncTable semantics).
+bool build_enc_table(std::vector<uint64_t>& freq, int& im, int& iM,
+                     std::vector<uint64_t>& hcode) {
+    im = 0;
+    while (im < ENCSIZE && !freq[im]) ++im;
+    if (im == ENCSIZE) {
+        im = 0;
+        freq[0] = 1;
+    }
+    iM = ENCSIZE - 1;
+    while (iM > 0 && !freq[iM]) --iM;
+    iM = std::min(iM + 1, ENCSIZE - 1);
+    freq[iM] += 1;  // run-length pseudo-symbol
+
+    using Node = std::pair<uint64_t, int>;  // (freq, symbol)
+    std::vector<Node> heap;
+    std::vector<int> hlink(ENCSIZE);
+    for (int i = im; i <= iM; ++i) {
+        if (freq[i]) {
+            heap.emplace_back(freq[i], i);
+            hlink[i] = i;
+        }
+    }
+    auto cmp = [](const Node& a, const Node& b) { return a > b; };
+    std::make_heap(heap.begin(), heap.end(), cmp);
+    std::vector<uint64_t> scode(ENCSIZE, 0);
+    while (heap.size() > 1) {
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        Node mm = heap.back();
+        heap.pop_back();
+        std::pop_heap(heap.begin(), heap.end(), cmp);
+        Node m = heap.back();
+        heap.pop_back();
+        heap.emplace_back(m.first + mm.first, m.second);
+        std::push_heap(heap.begin(), heap.end(), cmp);
+        for (int j = m.second;; j = hlink[j]) {
+            if (++scode[j] > 58) return false;
+            if (hlink[j] == j) {
+                hlink[j] = mm.second;
+                break;
+            }
+        }
+        for (int j = mm.second;; j = hlink[j]) {
+            if (++scode[j] > 58) return false;
+            if (hlink[j] == j) break;
+        }
+    }
+    canonical_code_table(scode);
+    hcode = std::move(scode);
+    return true;
+}
+
+void pack_enc_table(const std::vector<uint64_t>& hcode, int im, int iM,
+                    BitWriter& w) {
+    int i = im;
+    while (i <= iM) {
+        int l = code_len(hcode[i]);
+        if (l == 0) {
+            int zerun = 1;
+            while (i + zerun <= iM && zerun < LONGEST_LONG_RUN &&
+                   code_len(hcode[i + zerun]) == 0) {
+                ++zerun;
+            }
+            if (zerun >= SHORTEST_LONG_RUN) {
+                w.write(6, LONG_ZEROCODE_RUN);
+                w.write(8, zerun - SHORTEST_LONG_RUN);
+            } else if (zerun >= 2) {
+                w.write(6, SHORT_ZEROCODE_RUN + zerun - 2);
+            } else {
+                w.write(6, 0);
+                zerun = 1;
+            }
+            i += zerun;
+        } else {
+            w.write(6, uint64_t(l));
+            ++i;
+        }
+    }
+    w.flush();
+}
+
+bool unpack_enc_table(BitReader& r, int im, int iM,
+                      std::vector<uint64_t>& hcode) {
+    hcode.assign(ENCSIZE, 0);
+    int i = im;
+    while (i <= iM) {
+        uint64_t l = r.read(6);
+        if (r.fail) return false;
+        if (l == LONG_ZEROCODE_RUN) {
+            long zerun = long(r.read(8)) + SHORTEST_LONG_RUN;
+            if (r.fail || i + zerun > iM + 1) return false;
+            i += zerun;
+        } else if (l >= SHORT_ZEROCODE_RUN) {
+            long zerun = l - SHORT_ZEROCODE_RUN + 2;
+            if (i + zerun > iM + 1) return false;
+            i += zerun;
+        } else {
+            hcode[i++] = l;
+        }
+    }
+    canonical_code_table(hcode);
+    return true;
+}
+
+struct DecEntry {
+    int len = 0;
+    int lit = 0;
+    std::vector<int> longs;
+};
+
+bool build_dec_table(const std::vector<uint64_t>& hcode, int im, int iM,
+                     std::vector<DecEntry>& dec) {
+    dec.assign(DECSIZE, DecEntry{});
+    for (int sym = im; sym <= iM; ++sym) {
+        int l = code_len(hcode[sym]);
+        uint64_t code = code_bits(hcode[sym]);
+        if (l == 0) continue;
+        if (code >> l) return false;
+        if (l > DECBITS) {
+            DecEntry& e = dec[code >> (l - DECBITS)];
+            if (e.len) return false;
+            e.longs.push_back(sym);
+        } else {
+            uint64_t base = code << (DECBITS - l);
+            for (uint64_t k = 0; k < (1ull << (DECBITS - l)); ++k) {
+                DecEntry& e = dec[base + k];
+                if (e.len || !e.longs.empty()) return false;
+                e.len = l;
+                e.lit = sym;
+            }
+        }
+    }
+    return true;
+}
+
+long encode(const std::vector<uint64_t>& hcode, const uint16_t* in,
+            long n, int rlc, BitWriter& w) {
+    auto send = [&](int sym, int run) {
+        uint64_t packed = hcode[sym];
+        int sl = code_len(packed);
+        int rl = code_len(hcode[rlc]);
+        if (run && sl + rl + 8 < sl * (run + 1)) {
+            w.write_code(packed);
+            w.write_code(hcode[rlc]);
+            w.write(8, uint64_t(run));
+        } else {
+            for (int k = 0; k <= run; ++k) w.write_code(packed);
+        }
+    };
+    if (n == 0) return 0;
+    int s = in[0];
+    int run = 0;
+    for (long i = 1; i < n; ++i) {
+        if (in[i] == s && run < 255) {
+            ++run;
+        } else {
+            send(s, run);
+            s = in[i];
+            run = 0;
+        }
+    }
+    send(s, run);
+    return long(w.out.size()) * 8 + w.lc;
+}
+
+// Decode nbits of Huffman data into exactly n_out symbols.
+bool decode(const std::vector<uint64_t>& hcode,
+            const std::vector<DecEntry>& dec, const uint8_t* in,
+            long nbits, int rlc, uint16_t* out, long n_out) {
+    long oi = 0;
+    uint64_t c = 0;
+    int lc = 0;
+    const long n_bytes = (nbits + 7) / 8;
+    long pos = 0;
+
+    auto emit = [&](int sym) -> bool {
+        if (sym == rlc) {
+            if (lc < 8) {
+                if (pos >= n_bytes) return false;
+                c = (c << 8) | in[pos++];
+                lc += 8;
+            }
+            lc -= 8;
+            int cs = int((c >> lc) & 0xFF);
+            c &= (1ull << lc) - 1;
+            if (oi == 0 || oi + cs > n_out) return false;
+            uint16_t prev = out[oi - 1];
+            for (int k = 0; k < cs; ++k) out[oi++] = prev;
+        } else {
+            if (oi >= n_out) return false;
+            out[oi++] = uint16_t(sym);
+        }
+        return true;
+    };
+
+    while (pos < n_bytes) {
+        c = (c << 8) | in[pos++];
+        lc += 8;
+        while (lc >= DECBITS) {
+            const DecEntry& e = dec[(c >> (lc - DECBITS)) & DECMASK];
+            if (e.len) {
+                lc -= e.len;
+                c &= (1ull << lc) - 1;
+                if (!emit(e.lit)) return false;
+            } else {
+                if (e.longs.empty()) return false;
+                bool matched = false;
+                for (int sym : e.longs) {
+                    int l = code_len(hcode[sym]);
+                    while (lc < l && pos < n_bytes) {
+                        c = (c << 8) | in[pos++];
+                        lc += 8;
+                    }
+                    if (lc >= l &&
+                        code_bits(hcode[sym]) ==
+                            ((c >> (lc - l)) & ((1ull << l) - 1))) {
+                        lc -= l;
+                        c &= (1ull << lc) - 1;
+                        if (!emit(sym)) return false;
+                        matched = true;
+                        break;
+                    }
+                }
+                if (!matched) return false;
+            }
+        }
+    }
+    int pad = int((8 - nbits) & 7);
+    c >>= pad;
+    lc -= pad;
+    while (lc > 0) {
+        const DecEntry& e = dec[(c << (DECBITS - lc)) & DECMASK];
+        if (e.len && e.len <= lc) {
+            lc -= e.len;
+            c &= (1ull << lc) - 1;
+            if (!emit(e.lit)) return false;
+        } else {
+            return false;
+        }
+    }
+    return oi == n_out;
+}
+
+inline void put_u32(std::vector<uint8_t>& v, uint32_t x) {
+    v.push_back(x & 0xFF);
+    v.push_back((x >> 8) & 0xFF);
+    v.push_back((x >> 16) & 0xFF);
+    v.push_back((x >> 24) & 0xFF);
+}
+
+inline uint32_t get_u32(const uint8_t* p) {
+    return uint32_t(p[0]) | (uint32_t(p[1]) << 8) |
+           (uint32_t(p[2]) << 16) | (uint32_t(p[3]) << 24);
+}
+
+}  // namespace huf
+
 }  // namespace
 
 extern "C" {
+
+// PIZ Huffman compress: writes [im iM tableLength nBits 0][table][bits]
+// into out (capacity out_cap); returns payload length or -1.
+long mmtpu_huf_compress(const uint16_t* data, long n, uint8_t* out,
+                        long out_cap) {
+    if (n == 0) return 0;
+    std::vector<uint64_t> freq(huf::ENCSIZE, 0);
+    for (long i = 0; i < n; ++i) freq[data[i]] += 1;
+    int im = 0, iM = 0;
+    std::vector<uint64_t> hcode;
+    if (!huf::build_enc_table(freq, im, iM, hcode)) return -1;
+    huf::BitWriter table;
+    huf::pack_enc_table(hcode, im, iM, table);
+    huf::BitWriter bits;
+    long nbits = huf::encode(hcode, data, n, iM, bits);
+    bits.flush();
+    std::vector<uint8_t> blob;
+    huf::put_u32(blob, uint32_t(im));
+    huf::put_u32(blob, uint32_t(iM));
+    huf::put_u32(blob, uint32_t(table.out.size()));
+    huf::put_u32(blob, uint32_t(nbits));
+    huf::put_u32(blob, 0);
+    blob.insert(blob.end(), table.out.begin(), table.out.end());
+    blob.insert(blob.end(), bits.out.begin(), bits.out.end());
+    if (long(blob.size()) > out_cap) return -1;
+    std::memcpy(out, blob.data(), blob.size());
+    return long(blob.size());
+}
+
+// PIZ Huffman uncompress; returns 0 on success.
+int mmtpu_huf_uncompress(const uint8_t* blob, long blob_len,
+                         uint16_t* out, long n_out) {
+    if (n_out == 0) return 0;
+    if (blob_len < 20) return 1;
+    int im = int(huf::get_u32(blob));
+    int iM = int(huf::get_u32(blob + 4));
+    long nbits = long(huf::get_u32(blob + 12));
+    if (im < 0 || im >= huf::ENCSIZE || iM < 0 || iM >= huf::ENCSIZE)
+        return 2;
+    huf::BitReader r{blob + 20, blob_len - 20};
+    std::vector<uint64_t> hcode;
+    if (!huf::unpack_enc_table(r, im, iM, hcode)) return 3;
+    std::vector<huf::DecEntry> dec;
+    if (!huf::build_dec_table(hcode, im, iM, dec)) return 4;
+    long table_bytes = r.pos;  // bytes consumed by the table reader
+    const uint8_t* bits = blob + 20 + table_bytes;
+    long bits_len = blob_len - 20 - table_bytes;
+    if ((nbits + 7) / 8 > bits_len) return 5;
+    if (!huf::decode(hcode, dec, bits, nbits, iM, out, n_out)) return 6;
+    return 0;
+}
 
 // lens5: [distortion, anamorphic_squeeze, curvature_x, curvature_y,
 //         quartic]; cam5: [fbw_cm, fbh_cm, lco_x_cm, lco_y_cm,

@@ -169,6 +169,51 @@ def test_multipart_roundtrip_and_selection(tmp_path):
         exr.read_pixels(path, part="nope")
 
 
+def _native_or_skip():
+    from mayamatchmovesolver_tpu import native
+
+    if not native.has_huffman():
+        pytest.skip("native library unavailable")
+    return native
+
+
+def test_native_huffman_bit_identical_to_python():
+    """The C++ codec must be BIT-identical to the Python one (same
+    canonical table construction and heap tie-breaking), and each must
+    decode the other's output."""
+    native = _native_or_skip()
+    rng = np.random.RandomState(0)
+    cases = [
+        rng.randint(0, 2000, 5000).astype(np.uint16),
+        np.full(3000, 7, np.uint16),
+        np.concatenate([
+            rng.randint(0, 65536, 300), np.zeros(700, int)
+        ]).astype(np.uint16),
+        np.array([65535], np.uint16),
+    ]
+    for data in cases:
+        py_blob = _piz.huf_compress(data, use_native=False)
+        nat_blob = native.huf_compress(data)
+        assert py_blob == nat_blob
+        np.testing.assert_array_equal(
+            _piz.huf_uncompress(nat_blob, data.size, use_native=False),
+            data,
+        )
+        np.testing.assert_array_equal(
+            native.huf_uncompress(py_blob, data.size), data
+        )
+
+
+def test_native_huffman_rejects_corrupt_blob():
+    native = _native_or_skip()
+    data = np.arange(100, dtype=np.uint16)
+    blob = bytearray(native.huf_compress(data))
+    blob[8] = 0xFF  # corrupt tableLength region
+    blob = blob[:15]  # truncate
+    with pytest.raises(_piz.PizError):
+        _piz.huf_uncompress(bytes(blob), 100)
+
+
 def test_piz_chunk_layout_is_spec_shaped(tmp_path):
     """Structural check of the PIZ payload: u16 minNonZero/maxNonZero,
     bitmap slice, i32 huffman length, huffman blob with the 20-byte
