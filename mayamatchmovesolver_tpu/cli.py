@@ -283,6 +283,67 @@ def _cmd_reproject(args):
     return 0
 
 
+def _cmd_affects(args):
+    """Marker <-> attribute relationship analysis (ref: the
+    mmSolverAffects command, MMSolverAffectsCmd.cpp:214 — here the
+    'returnString' mode as JSON: per-marker affecting attributes, the
+    used/unused split, and problem sizing)."""
+    from mayamatchmovesolver_tpu.core.constants import FilmFit
+    from mayamatchmovesolver_tpu.io import markers_to_scene
+    from mayamatchmovesolver_tpu.scene import SceneGraph
+    from mayamatchmovesolver_tpu.solver import affects
+
+    _, mkr_data = _load_markers(
+        args.markers, args.image_width, args.image_height
+    )
+    start, end = (
+        (args.start_frame, args.end_frame)
+        if args.start_frame is not None
+        else _frame_range_of(mkr_data)
+    )
+    sg = SceneGraph(frame_range=(start, end))
+    n = sg.num_frames
+    cam = sg.create_camera(
+        "cam",
+        tx=np.zeros(n), ty=np.zeros(n), tz=np.zeros(n),
+        rx=np.zeros(n), ry=np.zeros(n), rz=np.zeros(n),
+        focal_length_mm=args.focal_length,
+        sensor_width_mm=args.film_back_width,
+        sensor_height_mm=args.film_back_height,
+        film_fit=FilmFit.HORIZONTAL,
+        render_width=args.image_width or 1920,
+        render_height=args.image_height or 1080,
+    )
+    markers = [mkr for mkr, _bnd in markers_to_scene(mkr_data, sg, cam)]
+    attrs = [cam.attr(c) for c in ("tx", "ty", "tz", "rx", "ry", "rz")]
+    for m in markers:
+        for ch in ("tx", "ty", "tz"):
+            attrs.append(m.bundle.attr(ch))
+    matrix = affects.marker_attr_affects(markers, attrs)
+    used_m, unused_m, used_a, unused_a = (
+        affects.split_used_markers_and_attributes(markers, attrs)
+    )
+    attr_name = ["%s.%s" % (a.node.name, a.name) for a in attrs]
+    out = {
+        "markers": [m.name for m in markers],
+        "attributes": attr_name,
+        "affects": {
+            m.name: [attr_name[j] for j in np.nonzero(matrix[mi])[0]]
+            for mi, m in enumerate(markers)
+        },
+        "used_markers": [m.name for m in used_m],
+        "unused_markers": [m.name for m in unused_m],
+        "used_attributes": [
+            "%s.%s" % (a.node.name, a.name) for a in used_a
+        ],
+        "unused_attributes": [
+            "%s.%s" % (a.node.name, a.name) for a in unused_a
+        ],
+    }
+    _write_or_print(out, args.output)
+    return 0
+
+
 def _cmd_solver_types(args):
     """List registered solver backends (ref: the mmSolverType command,
     src/mmSolver/cmd/MMSolverTypeCmd.cpp — query name/index/default)."""
@@ -614,6 +675,12 @@ def main(argv=None):
                        help="SfM bootstrap: solve camera from 2D tracks")
     add_marker_args(p)
 
+    p = sub.add_parser(
+        "affects",
+        help="marker <-> attribute relationship analysis",
+    )
+    add_marker_args(p)
+
     p = sub.add_parser("solve", help="per-frame pose refinement solve")
     add_marker_args(p)
     p.add_argument("--iterations", type=int, default=20)
@@ -736,6 +803,8 @@ def main(argv=None):
         return _cmd_camera_solve(args)
     if args.command == "solve":
         return _cmd_solve(args)
+    if args.command == "affects":
+        return _cmd_affects(args)
     if args.command == "lensdistort":
         return _cmd_lensdistort(args)
     if args.command == "reproject":

@@ -147,7 +147,9 @@ def sharded_levenberg_marquardt(
     normal_fn = sharded_normal_system(problem, mesh, axis_name)
 
     cost0, jtj0, jtr0 = normal_fn(x0)
-    mu0 = tau * jnp.max(jnp.diag(jtj0))
+    # Dimensionless Marquardt mu: damping is mu*diag(JtJ) (see
+    # solver/lm.py lm_init).
+    mu0 = jnp.asarray(tau, x0.dtype)
 
     def cond(s):
         return (s.stop == 0) & (s.it < max_iterations)

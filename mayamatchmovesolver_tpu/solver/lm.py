@@ -100,21 +100,36 @@ def _solve_damped(jtj, jtr, mu, diag_floor=1e-12):
 
     Marquardt scaling (damping proportional to diag) matches cminpack's
     internal column scaling mode used by the reference
-    (ref: adjust_cminpack_lmdif.cpp mode=1).  Uses our own Cholesky
-    (solver/linalg.py) because XLA:TPU lacks f64 decompositions.
+    (ref: adjust_cminpack_lmdif.cpp mode=1).  The system is solved in
+    Jacobi-preconditioned form — S (JtJ + mu D) S y = -S Jtr with
+    S = diag(JtJ)^-1/2, dx = S y — which is the same linear system but
+    with unit diagonal, so mixed-unit parameter sets (mm focal +
+    degrees + world units: column norms spanning 3+ decades) stay
+    within float32's conditioning budget on TPU.  Uses our own
+    Cholesky (solver/linalg.py) because XLA:TPU lacks f64
+    decompositions.
     """
     d = jnp.maximum(jnp.diag(jtj), diag_floor)
-    a = jtj + mu * jnp.diag(d)
-    return linalg.solve_spd(a, -jtr)
+    s = jax.lax.rsqrt(d)
+    a = jtj * (s[:, None] * s[None, :])
+    a = a + mu * jnp.eye(a.shape[0], dtype=a.dtype)
+    y = linalg.solve_spd(a, -(s * jtr))
+    return s * y
 
 
 def lm_init(residual_fn: Callable, x0, config: LMConfig = LMConfig()):
-    """Initial LM state: residual + normal system at x0.  Jittable."""
+    """Initial LM state: residual + normal system at x0.  Jittable.
+
+    mu is DIMENSIONLESS (Marquardt convention): the damping term is
+    mu*diag(JtJ), so mu0 = tau directly.  (Nielsen's variant scales
+    mu0 by max(diag) because it damps with mu*I; mixing the two — as
+    an earlier revision did — over-damps pixel-unit problems by ~1e5
+    and stalls the first step below xtol.)"""
     normal_system = _make_normal_system(residual_fn, config.jacobian_mode)
     x0 = jnp.asarray(x0)
     r0, jtj0, jtr0 = normal_system(x0)
     cost0 = 0.5 * jnp.sum(r0 * r0)
-    mu0 = config.tau * jnp.max(jnp.diag(jtj0))
+    mu0 = config.tau
     return _State(
         x=x0,
         r=r0,

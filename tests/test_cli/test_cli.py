@@ -369,6 +369,28 @@ def test_pose_from_points_verb(tmp_path):
     )
 
 
+def test_affects_verb(tmp_path):
+    """mmSolverAffects parity: per-marker affecting attributes and the
+    used/unused split (ref: MMSolverAffectsCmd.cpp:214 returnString
+    mode)."""
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    out_path = os.path.join(tmp_path, "affects.json")
+    _write_uvtrack(uv_path, n_frames=4, n_markers=3, with_3d=False)
+    rc = cli.main(["affects", "--markers", uv_path,
+                   "--output", out_path])
+    assert rc == 0
+    with open(out_path) as f:
+        out = json.load(f)
+    assert out["markers"] == ["m0", "m1", "m2"]
+    # Camera attrs affect every marker; a bundle affects only its own.
+    for m in out["markers"]:
+        assert "cam.tx" in out["affects"][m]
+        assert ("%s_bnd.tz" % m) in out["affects"][m]
+    assert "m1_bnd.tx" not in out["affects"]["m0"]
+    assert not out["unused_markers"]
+    assert not out["unused_attributes"]
+
+
 def test_pose_from_points_maya_convention_and_valid(tmp_path):
     """camera-solve-style input: Maya-world points + 'valid' flags.
     Culled bundles (valid=false, garbage positions) must be dropped and
