@@ -145,6 +145,10 @@ class Collection:
     # Line straightness constraints (ref: _api/line.py Line objects in
     # the solve set; mmLineBestFit residuals).
     lines: List[object] = dataclasses.field(default_factory=list)
+    # Results of the most recent execute() — the v2 results-node
+    # surface (ref: MMSolver2Cmd writes typed results onto the
+    # Collection node, adjust_results_setSolveData.cpp).
+    last_results: List[object] = dataclasses.field(default_factory=list)
 
     def add_marker(self, *markers):
         for m in markers:
@@ -291,11 +295,17 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
     )
 
     solver = collection.solver
-    return solver.execute(
+    new_attrs, results = solver.execute(
         scene, attrs, collection.attributes, options,
         lens=lens, marker_mask=marker_mask, stiffness=stiffness,
         lines=lines,
     )
+    # v2 semantics: solve results persist on the Collection (the
+    # reference's mmSolver_v2 writes typed results onto the Collection
+    # node instead of returning strings; ref: MMSolver2Cmd.cpp:103-148,
+    # adjust_results_setSolveData.cpp, _execute/main.py:128-155).
+    collection.last_results = results
+    return new_attrs, results
 
 
 def combine_results(result_lists) -> dict:

@@ -41,3 +41,20 @@ jax.config.update("jax_default_matmul_precision", "highest")
 # compiles of the test-sized programs are fast, so in-memory caching
 # within a single pytest process is sufficient.
 jax.config.update("jax_enable_compilation_cache", False)
+
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """Free compiled executables between test modules.
+
+    With the suite's size (hundreds of distinct jit programs at x64 +
+    8 virtual devices in one process), this sandbox's XLA:CPU
+    intermittently segfaults inside backend_compile_and_load once too
+    much compile state has accumulated; dropping caches at module
+    boundaries keeps the process under that threshold (observed: full
+    runs abort around the ~150th compile without this, pass with it).
+    """
+    yield
+    jax.clear_caches()

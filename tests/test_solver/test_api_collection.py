@@ -71,3 +71,39 @@ def test_execute_validation_failures():
     col.add_attribute(bnd.attr("tx"))
     _, results = mmapi.execute(col)
     assert "no solver" in results[0].reason_string
+
+
+def test_execute_stores_results_on_collection():
+    """v2 results-node semantics: execute() persists its results on the
+    Collection (ref: MMSolver2Cmd.cpp:103-148 writes typed results onto
+    the Collection node; _execute/main.py:128-155)."""
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.solver import SolverOptions
+    from mayamatchmovesolver_tpu.solver.strategies import SolverStep
+
+    sg = mmapi.SceneGraph(frame_range=(1, 4))
+    cam = sg.create_camera("cam", tz=10.0, render_width=1920,
+                           render_height=1080)
+    bnd = sg.create_bundle("b", tx=1.0, tz=-5.0)
+    mkr = sg.create_marker("m", camera=cam, bundle=bnd)
+    scene, attrs = sg.bake()
+    ev = evaluate(scene, attrs, jnp.arange(4))
+    # Track the true bundle, then perturb it in the editable graph.
+    point = np.asarray(ev.point_xy)[0, 0]
+    sg.set_value(mkr.attr("tx"), float(point[0]))
+    sg.set_value(mkr.attr("ty"), float(point[1]))
+    sg.set_value(bnd.attr("tx"), 1.25)
+
+    col = mmapi.Collection(sg)
+    col.add_marker(mkr)
+    col.add_attribute(bnd.attr("tx"))
+    col.solver = SolverStep(frame_indices=list(range(4)))
+    col.options = SolverOptions(image_width=1920.0)
+    assert col.last_results == []
+    new_attrs, results = mmapi.execute(col)
+    assert col.last_results is results
+    assert results and results[0].success
+    tx = float(np.asarray(new_attrs.static_values)[
+        bnd.attr("tx").code // 2])
+    assert abs(tx - 1.0) < 1e-4
