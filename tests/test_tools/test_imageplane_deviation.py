@@ -138,7 +138,10 @@ def test_deviation_stats_and_exports(tmp_path):
     assert set(stats) == {"marker_%d" % i for i in range(4)}
     for s in stats.values():
         assert np.isfinite(s["average"])
-        assert s["maximum"] >= s["average"] >= 0.0
+        # ULP slack: mean of near-identical errors can exceed max by
+        # one rounding step.
+        assert s["maximum"] >= s["average"] * (1 - 1e-12)
+        assert s["average"] >= 0.0
         assert s["worst_frame"] in result.per_frame_error.frames
 
     worst = deviation.worst_markers(result, count=2)
