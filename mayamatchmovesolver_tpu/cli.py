@@ -344,6 +344,100 @@ def _cmd_affects(args):
     return 0
 
 
+def _cmd_validate(args):
+    """Scene/problem validation without solving (ref: the
+    mmSolverSceneGraph command's convertibility check,
+    MMSolverSceneGraphCmd.cpp:141, plus the compile-layer validation
+    twins, _execute/main.py:51 and the sizing checks
+    adjust_base.cpp:864-882)."""
+    from mayamatchmovesolver_tpu.core.constants import FilmFit
+    from mayamatchmovesolver_tpu.io import markers_to_scene
+    from mayamatchmovesolver_tpu.scene import SceneGraph
+    from mayamatchmovesolver_tpu.solver import (
+        SolverOptions,
+        build_problem,
+        count_errors_and_parameters,
+    )
+
+    _, mkr_data = _load_markers(
+        args.markers, args.image_width, args.image_height
+    )
+    start, end = (
+        (args.start_frame, args.end_frame)
+        if args.start_frame is not None
+        else _frame_range_of(mkr_data)
+    )
+    sg = SceneGraph(frame_range=(start, end))
+    n = sg.num_frames
+    cam = sg.create_camera(
+        "cam",
+        tx=np.zeros(n), ty=np.zeros(n), tz=np.zeros(n),
+        rx=np.zeros(n), ry=np.zeros(n), rz=np.zeros(n),
+        focal_length_mm=args.focal_length,
+        sensor_width_mm=args.film_back_width,
+        sensor_height_mm=args.film_back_height,
+        film_fit=FilmFit.HORIZONTAL,
+        render_width=args.image_width or 1920,
+        render_height=args.image_height or 1080,
+    )
+    markers_to_scene(mkr_data, sg, cam)
+    scene, attrs = sg.bake()
+    solve_attrs = [cam.attr(c) for c in ("tx", "ty", "tz",
+                                         "rx", "ry", "rz")]
+    options = SolverOptions(image_width=float(args.image_width or 1920))
+    problem = build_problem(scene, attrs, np.arange(n), solve_attrs,
+                            options)
+    num_errors, num_params_static = count_errors_and_parameters(problem)
+    per_frame_params = len(solve_attrs)
+    out = {
+        "frames": [start, end],
+        "num_markers": len(mkr_data),
+        "num_errors": num_errors,
+        "num_parameters": int(problem.num_params),
+        "solvable": num_errors >= int(problem.num_params),
+        "per_frame_solvable": (
+            2 * len(mkr_data) >= per_frame_params
+        ),
+    }
+    _write_or_print(out, args.output)
+    return 0 if out["solvable"] else 1
+
+
+def _cmd_camera_matrix(args):
+    """Camera projection / world matrices for given parameters (ref:
+    the mmTestCameraMatrix command, MMTestCameraMatrixCmd.cpp — matrix
+    parity checks)."""
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.core import camera as cam_mod
+    from mayamatchmovesolver_tpu.core.constants import FilmFit
+    from mayamatchmovesolver_tpu.utils import reproject as rep
+
+    proj = np.asarray(cam_mod.projection_matrix(
+        jnp.asarray(float(args.focal_length)),
+        jnp.asarray(args.film_back_width / 25.4),
+        jnp.asarray(args.film_back_height / 25.4),
+        jnp.asarray(0.0), jnp.asarray(0.0),
+        float(args.image_width), float(args.image_height),
+        int(FilmFit.HORIZONTAL),
+        0.1, 10000.0, 1.0,
+    ))
+    world = np.asarray(rep.camera_world_matrix_from_trs(
+        *[np.atleast_1d(v) for v in args.trs]
+    ))[0]
+    out = {
+        "projection_matrix": proj.tolist(),
+        "camera_world_matrix": world.tolist(),
+        # world -> clip: view transform (inverse camera world) then
+        # projection, same composition the engine uses.
+        "world_projection_matrix": (
+            proj @ np.linalg.inv(world)
+        ).tolist(),
+    }
+    _write_or_print(out, args.output)
+    return 0
+
+
 def _cmd_solver_types(args):
     """List registered solver backends (ref: the mmSolverType command,
     src/mmSolver/cmd/MMSolverTypeCmd.cpp — query name/index/default)."""
@@ -681,6 +775,25 @@ def main(argv=None):
     )
     add_marker_args(p)
 
+    p = sub.add_parser(
+        "validate",
+        help="problem sizing / solvability check without solving",
+    )
+    add_marker_args(p)
+
+    p = sub.add_parser(
+        "camera-matrix",
+        help="camera projection/world matrices for given parameters",
+    )
+    p.add_argument("--trs", type=float, nargs=6, required=True,
+                   metavar=("TX", "TY", "TZ", "RX", "RY", "RZ"))
+    p.add_argument("--focal-length", type=float, default=35.0)
+    p.add_argument("--film-back-width", type=float, default=36.0)
+    p.add_argument("--film-back-height", type=float, default=24.0)
+    p.add_argument("--image-width", type=int, default=1920)
+    p.add_argument("--image-height", type=int, default=1080)
+    p.add_argument("--output", default=None)
+
     p = sub.add_parser("solve", help="per-frame pose refinement solve")
     add_marker_args(p)
     p.add_argument("--iterations", type=int, default=20)
@@ -805,6 +918,10 @@ def main(argv=None):
         return _cmd_solve(args)
     if args.command == "affects":
         return _cmd_affects(args)
+    if args.command == "validate":
+        return _cmd_validate(args)
+    if args.command == "camera-matrix":
+        return _cmd_camera_matrix(args)
     if args.command == "lensdistort":
         return _cmd_lensdistort(args)
     if args.command == "reproject":

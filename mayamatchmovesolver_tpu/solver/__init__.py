@@ -20,6 +20,7 @@ from mayamatchmovesolver_tpu.solver.solve import (  # noqa: F401
     SceneGraphMode,
     SolverOptions,
     build_problem,
+    count_errors_and_parameters,
     solve,
     solve_per_frame,
 )
