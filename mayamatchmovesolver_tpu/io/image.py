@@ -14,16 +14,37 @@ import numpy as np
 from mayamatchmovesolver_tpu.io import exr as exr_mod
 
 
+def _read_ldr(file_path):
+    """LDR decode via imageio, falling back to PIL (either may be
+    absent in a minimal install; EXR never needs them)."""
+    try:
+        import imageio.v3 as iio
+
+        return np.asarray(iio.imread(file_path))
+    except ImportError:
+        from PIL import Image
+
+        return np.asarray(Image.open(file_path))
+
+
+def _write_ldr(file_path, arr_u8):
+    try:
+        import imageio.v3 as iio
+
+        iio.imwrite(file_path, arr_u8)
+    except ImportError:
+        from PIL import Image
+
+        Image.fromarray(arr_u8).save(file_path)
+
+
 def read_image(file_path):
     """Returns ((H, W, 4) float32 RGBA, metadata dict)."""
     ext = os.path.splitext(file_path)[1].lower()
     if ext == ".exr":
         img, header = exr_mod.read_pixels(file_path)
         return img, {"format": "exr", "header": header}
-    import imageio.v3 as iio
-
-    arr = iio.imread(file_path)
-    arr = np.asarray(arr)
+    arr = _read_ldr(file_path)
     if arr.dtype == np.uint8:
         arr = arr.astype(np.float32) / 255.0
     elif arr.dtype == np.uint16:
@@ -75,10 +96,8 @@ def write_image(file_path, image):
     if ext == ".exr":
         exr_mod.write_pixels(file_path, image)
         return
-    import imageio.v3 as iio
-
     out = np.clip(image, 0.0, 1.0)
-    iio.imwrite(file_path, (out * 255.0 + 0.5).astype(np.uint8))
+    _write_ldr(file_path, (out * 255.0 + 0.5).astype(np.uint8))
 
 
 def convert_image(src_path, dst_path, scale=1.0):
