@@ -160,18 +160,40 @@ def _cmd_solve(args):
         render_width=args.image_width or 1920,
         render_height=args.image_height or 1080,
     )
-    markers_to_scene(mkr_data, sg, cam)
+    created = markers_to_scene(mkr_data, sg, cam)
     scene, attrs = sg.bake()
 
+    from mayamatchmovesolver_tpu.solver import registry, solve
+
+    solver_type = None
+    if getattr(args, "solver_type", None):
+        names = {name: idx for idx, name in registry.get_solver_types()}
+        solver_type = names[args.solver_type]
     options = SolverOptions(
         iterations=args.iterations,
         image_width=float(args.image_width or 1920),
+        solver_type=solver_type,
     )
     solve_attrs = [cam.attr(c) for c in ("tx", "ty", "tz",
                                          "rx", "ry", "rz")]
-    new_attrs, result = solve_per_frame(
-        scene, attrs, list(range(n)), solve_attrs, options
+    solve_bundles = bool(getattr(args, "solve_bundles", False)) or (
+        solver_type in (registry.SOLVER_TYPE_BA_SCHUR,
+                        registry.SOLVER_TYPE_BA_SHARDED)
     )
+    if solve_bundles:
+        # Joint camera+bundle solve over all frames at once — routed
+        # through the structured Schur BA backend when requested
+        # (ref: the reference's one mmSolver command dispatching every
+        # registered solver, adjust_base.cpp:80-127,713).
+        for _, bnd in created:
+            solve_attrs += [bnd.attr(c) for c in ("tx", "ty", "tz")]
+        new_attrs, result = solve(
+            scene, attrs, list(range(n)), solve_attrs, options
+        )
+    else:
+        new_attrs, result = solve_per_frame(
+            scene, attrs, list(range(n)), solve_attrs, options
+        )
     for line in result.as_key_value_strings():
         print(line)
     if args.output:
@@ -604,22 +626,16 @@ def _cmd_pose_from_points(args):
             args.film_back_width, aspect,
         )
     )
-    r, t = twoview.resection_pose(_jnp_array(p3), _jnp_array(p2))
-    r = np.asarray(r)
-    t = np.asarray(t)
-    # Reject gross outliers by reprojection error and re-resect once
-    # (resection_pose itself is not robust).
-    proj = p3 @ r.T + t
-    pred = proj[:, :2] / np.maximum(proj[:, 2:3], 1e-12)
-    err = np.linalg.norm(pred - p2, axis=-1)
-    thresh = max(4.0 * np.median(err), 1e-6)
-    inlier = (err <= thresh) & (proj[:, 2] > 0.0)
-    if inlier.sum() >= 6 and inlier.sum() < inlier.size:
-        r, t = twoview.resection_pose(
-            _jnp_array(p3[inlier]), _jnp_array(p2[inlier])
-        )
-        r = np.asarray(r)
-        t = np.asarray(t)
+    # RANSAC-robust resection, like the reference's ACRANSAC
+    # pose-from-known-points (ref: camera_from_known_points.cpp:97-202):
+    # outlier correspondences are rejected by consensus, not dropped by
+    # a single median heuristic.
+    pose = twoview.robust_resection_pose(
+        _jnp_array(p3), _jnp_array(p2), num_hypotheses=256
+    )
+    r = np.asarray(pose.rotation)
+    t = np.asarray(pose.translation)
+    num_inliers = int(pose.num_inliers)
     # Maya-convention camera placement alongside the raw CV pose
     # (same mapping camera-solve uses, camerasolve.py:319-331).
     s = np.diag([1.0, -1.0, -1.0])
@@ -631,6 +647,7 @@ def _cmd_pose_from_points(args):
         "camera_position_maya": (s @ (-r.T @ t)).tolist(),
         "camera_rotation_maya": (s @ r.T @ s).tolist(),
         "markers": [n for n, k in zip(marker_names, keep) if k],
+        "num_inliers": num_inliers,
     }
     _write_or_print(out, args.output)
     return 0
@@ -799,6 +816,15 @@ def main(argv=None):
     p.add_argument("--iterations", type=int, default=20)
     p.add_argument("--camera", default=None,
                    help="initial camera JSON (tx..rz values/arrays)")
+    p.add_argument("--solver-type", default=None,
+                   choices=["lm_jax", "ba_schur", "lm_sharded",
+                            "ba_schur_sharded"],
+                   help="solver backend (see `solver-types`); the "
+                        "ba_* backends solve camera AND bundles "
+                        "jointly via the structured Schur path")
+    p.add_argument("--solve-bundles", action="store_true",
+                   help="solve bundle positions jointly with the "
+                        "camera (all frames at once)")
 
     p = sub.add_parser("lensdistort", help="write a lens ST-map EXR")
     p.add_argument("--model", default="tde_classic")

@@ -16,12 +16,13 @@ from mayamatchmovesolver_tpu.io import exr as exr_mod
 
 def _read_ldr(file_path):
     """LDR decode via imageio, falling back to PIL (either may be
-    absent in a minimal install; EXR never needs them)."""
+    absent in a minimal install, or installed without a plugin for the
+    requested format — OSError; EXR never needs them)."""
     try:
         import imageio.v3 as iio
 
         return np.asarray(iio.imread(file_path))
-    except ImportError:
+    except (ImportError, OSError):
         from PIL import Image
 
         return np.asarray(Image.open(file_path))
@@ -32,7 +33,7 @@ def _write_ldr(file_path, arr_u8):
         import imageio.v3 as iio
 
         iio.imwrite(file_path, arr_u8)
-    except ImportError:
+    except (ImportError, OSError):
         from PIL import Image
 
         Image.fromarray(arr_u8).save(file_path)

@@ -144,6 +144,16 @@ def sharded_levenberg_marquardt(
     cminpack driver, adjust_cminpack_lmdif.cpp:61); only the data layout
     differs.
     """
+    # f32 accumulation for the normal equations (see ba.solve_ba).
+    with jax.default_matmul_precision("float32"):
+        return _sharded_lm_impl(
+            problem, x0, mesh, max_iterations, tau, eps1, eps2, eps3,
+            axis_name,
+        )
+
+
+def _sharded_lm_impl(problem, x0, mesh, max_iterations, tau, eps1,
+                     eps2, eps3, axis_name):
     normal_fn = sharded_normal_system(problem, mesh, axis_name)
 
     cost0, jtj0, jtr0 = normal_fn(x0)

@@ -234,7 +234,16 @@ def camera_solve(
     # (ref: _solve_relative_poses loop, solvercamerautils.py:574).
     # All calls use the full padded point set with zero weights for
     # missing observations, so one compiled program serves every frame.
-    resect = jax.jit(twoview.resection_pose)
+    # Resection is RANSAC-robust like the reference's ACRANSAC
+    # pose-from-known-points (ref: camera_from_known_points.cpp:97-202):
+    # an outlier track or a badly-triangulated bundle must not poison
+    # the frame's pose.
+    resect = jax.jit(
+        lambda p3, p2, w, k: twoview.robust_resection_pose(
+            p3, p2, key=k, num_hypotheses=128, weights=w,
+            inlier_threshold=4e-4,
+        )
+    )
     triangulate = jax.jit(twoview.triangulate_linear)
     order = np.argsort(-connected_frame_scores(enable & valid[:, None]))
     for f in order:
@@ -243,13 +252,14 @@ def camera_solve(
         seen = enable[:, f] & valid
         if seen.sum() < 6:
             continue
-        r, t = resect(
+        pose_f = resect(
             jnp.asarray(pts3d),
             jnp.asarray(bearings[:, f]),
-            weights=jnp.asarray(seen, dtype=np.float64),
+            jnp.asarray(seen, dtype=np.float64),
+            jax.random.PRNGKey(int(f)),
         )
-        cam_r[f] = np.asarray(r)
-        cam_t[f] = np.asarray(t)
+        cam_r[f] = np.asarray(pose_f.rotation)
+        cam_t[f] = np.asarray(pose_f.translation)
         solved[f] = True
 
         # Triangulate new points against the anchor frame.
@@ -375,11 +385,6 @@ def refine_with_bundle_adjustment(
         )
     )
     cam_params = np.concatenate([result.positions, eulers], axis=-1)
-    if solve_focal:
-        cam_params = np.concatenate(
-            [cam_params, np.full((num_frames, 1), focal_length_mm)],
-            axis=-1,
-        )
 
     weight = np.asarray(enable_mask, float) * result.point_valid[:, None]
     problem = ba.make_ba_problem(
@@ -447,10 +452,11 @@ def camera_solve_full(
     Returns (CameraSolveResult, BAResult, solved_focal_length_mm).
 
     Focal solving (ref: the focal attrs passed into _bundle_adjust,
-    solvercamerautils.py:380-520): per-frame focal parameters are freed
-    in a first BA pass, consolidated to their median (matchmove shots
-    have one physical lens), then a fixed-focal BA polishes poses and
-    structure at the consolidated value.
+    solvercamerautils.py:380-520): ONE shared focal parameter is freed
+    in the BA's arrowhead border in a first pass (a matchmove shot has
+    one physical lens — the reference's static-attribute semantics),
+    then a fixed-focal BA polishes poses and structure at the solved
+    value.
     """
     result = camera_solve(
         marker_xy, enable_mask,
@@ -476,12 +482,9 @@ def camera_solve_full(
             max_iterations=ba_iterations,
             solve_focal=True,
         )
-        per_frame_focal = np.asarray(ba_result.cam_params)[:, 6]
-        weights = np.asarray(result.frame_solved, float)
-        if weights.sum() > 0:
-            focal = float(
-                np.median(per_frame_focal[result.frame_solved])
-            )
+        # solve_focal puts ONE focal in the BA border (the reference's
+        # static-attribute semantics) — read it back directly.
+        focal = float(np.asarray(ba_result.shared_params)[0])
         result = refined
     refined, ba_result = refine_with_bundle_adjustment(
         result, marker_xy, enable_mask,

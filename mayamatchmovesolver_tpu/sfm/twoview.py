@@ -321,6 +321,93 @@ def homography_transfer_error(h, pts1, pts2):
     return jnp.sum((proj - pts2) ** 2, axis=-1)
 
 
+class ResectionPose(NamedTuple):
+    rotation: jax.Array  # (3, 3) world-to-camera
+    translation: jax.Array  # (3,)
+    inliers: jax.Array  # (N,) bool
+    num_inliers: jax.Array
+
+
+def reprojection_error_sq(r, t, points3d, points2d):
+    """Squared reprojection error in normalized camera coords; points
+    behind the camera score +inf (never inliers)."""
+    pc = jnp.einsum("...ij,...nj->...ni", r, points3d) + t[..., None, :]
+    z = pc[..., 2]
+    proj = pc[..., :2] / jnp.where(jnp.abs(z[..., None]) < 1e-12,
+                                   1e-12, z[..., None])
+    err = jnp.sum((proj - points2d) ** 2, axis=-1)
+    return jnp.where(z > 0, err, jnp.inf)
+
+
+def robust_resection_pose(
+    points3d,
+    points2d,
+    key=None,
+    num_hypotheses=256,
+    sample_size=6,
+    inlier_threshold=1e-4,
+    weights=None,
+) -> ResectionPose:
+    """RANSAC camera resection: hypothesis-parallel 6-point DLT minimal
+    samples, reprojection-error inlier scoring, weighted refit on the
+    winning consensus set.
+
+    The reference's pose-from-known-points is ACRANSAC-robust
+    (ref: src/mmSolver/sfm/camera_from_known_points.cpp:97-202, the
+    ACRANSAC call at :129) — plain DLT (resection_pose) breaks under
+    outlier correspondences; this is the robust equivalent, with every
+    hypothesis estimated and scored in one vmap (single XLA program).
+
+    weights, if given, mask the valid observations: zero-weight points
+    are never sampled and never counted as inliers (fixed shapes for
+    jit, like robust_relative_pose).
+    """
+    if key is None:
+        key = jax.random.PRNGKey(0)
+    n = points3d.shape[-2]
+    if weights is None:
+        weights = jnp.ones(n, points3d.dtype)
+    valid = weights > 0
+    probs = weights / jnp.maximum(jnp.sum(weights), 1e-12)
+    idx = jax.vmap(
+        lambda k: jax.random.choice(
+            k, n, shape=(sample_size,), replace=False, p=probs
+        )
+    )(jax.random.split(key, num_hypotheses))
+
+    def estimate(sample_idx):
+        return resection_pose(
+            points3d[sample_idx], points2d[sample_idx]
+        )
+
+    rs, ts = jax.vmap(estimate)(idx)  # (H, 3, 3), (H, 3)
+    errors = jax.vmap(
+        lambda r, t: reprojection_error_sq(r, t, points3d, points2d)
+    )(rs, ts)  # (H, N)
+    inliers = (errors < inlier_threshold) & valid
+    scores = jnp.sum(inliers, axis=-1)
+    best = jnp.argmax(scores)
+    r_best, t_best, inl = rs[best], ts[best], inliers[best]
+
+    # Weighted-DLT refit on the winning consensus set.
+    w_refit = inl.astype(points3d.dtype) * weights
+    r_refit, t_refit = resection_pose(points3d, points2d,
+                                      weights=w_refit)
+    err_refit = reprojection_error_sq(r_refit, t_refit, points3d,
+                                      points2d)
+    inl_refit = (err_refit < inlier_threshold) & valid
+    use_refit = jnp.sum(inl_refit) >= jnp.sum(inl)
+    r_final = jnp.where(use_refit, r_refit, r_best)
+    t_final = jnp.where(use_refit, t_refit, t_best)
+    inl_final = jnp.where(use_refit, inl_refit, inl)
+    return ResectionPose(
+        rotation=r_final,
+        translation=t_final,
+        inliers=inl_final,
+        num_inliers=jnp.sum(inl_final),
+    )
+
+
 def resection_pose(points3d, points2d, weights=None):
     """Camera pose from known 3D points (DLT + nearest-rotation),
     normalized 2D coords.  (ref: camera_from_known_points resection,

@@ -1,5 +1,6 @@
 """Structured bundle adjustment: Schur complement over camera/bundle
-blocks, MXU-friendly, never forming the dense Jacobian.
+blocks with a shared-parameter border (arrowhead), MXU-friendly, never
+forming the dense Jacobian.
 
 This is the TPU-native replacement for the reference's dense
 cminpack QR over a finite-difference Jacobian
@@ -8,26 +9,43 @@ the sparsity the reference only exploits by *culling* evaluations via
 errorToParamList bitmaps, adjust_solveFunc.cpp:187-226, is here the
 explicit block structure of the normal equations).
 
-Problem shape (the classic BA arrowhead):
-  * camera parameters: (F, P_c) — per-frame 6-DoF pose (+ optional
-    focal length), independent across frames;
+Problem shape (the classic BA arrowhead; the reference documents the
+static-attribute coupling as its central scaling hazard,
+ref: docs/source/solver_design.rst:188-218):
+  * camera parameters: (F, 6) — per-frame 6-DoF pose, independent
+    across frames;
   * bundle parameters: (B, 3) — world positions, independent across
     bundles;
-  * residual r_{m,f} depends only on (camera frame f, bundle b(m)).
+  * shared (border) parameters: (S,) — static attributes coupling ALL
+    frames: focal length and/or lens-distortion coefficients (ref:
+    countUpNumberOfUnknownParameters treats static attrs as one
+    parameter across the whole frame range,
+    adjust_relationships.cpp:223);
+  * residual r_{m,f} depends on (camera frame f, bundle b(m), shared).
+
+Per-observation residuals include the same physics as the dense path:
+behind-camera x1e6 inflation (adjust_measureErrors.cpp:262-270), lens
+distortion applied to the reprojected point
+(adjust_measureErrors.cpp:249-270,464-480) and the robust loss
+rescaling (adjust_base.cpp:132-187).
 
 Per-observation Jacobians come from vmap(jacfwd) of a *tiny* function
-(2 outputs, P_c+3 inputs), so the Jacobian work is one fused batched
+(2 outputs, 6+3+S inputs), so the Jacobian work is one fused batched
 kernel over (M, F).  The normal equations are assembled with einsums
 (MXU work), bundles are eliminated in closed form (batched 3x3
-inverses), and the reduced camera system
+inverses), and the reduced arrowhead system over
+[per-frame camera blocks | border]
 
-    S = blkdiag(B_f) - sum_m W_{m,f}^T A_m^{-1} W_{m,f'}
+    [ S_cc  S_cs ] [dx_c]   [rhs_c]
+    [ S_sc  S_ss ] [dx_s] = [rhs_s]
 
-is solved with our any-dtype Cholesky.  An LM damping loop wraps it.
+is solved with our any-dtype Cholesky.  An LM loop with the true gain
+ratio (predicted-vs-actual reduction) and Nielsen's mu update wraps it,
+with the same eps1/2/3 stopping semantics as solver/lm.py.
 """
 
 import dataclasses
-from typing import NamedTuple, Optional
+from typing import NamedTuple, Optional, Sequence, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -37,9 +55,13 @@ from mayamatchmovesolver_tpu.core import transform as tfm_math
 from mayamatchmovesolver_tpu.core.constants import MM_TO_INCH
 from mayamatchmovesolver_tpu.scene.flatscene import NEAR_CLIP_PLANE_CM
 from mayamatchmovesolver_tpu.solver import linalg
+from mayamatchmovesolver_tpu.solver import loss as loss_mod
 
 CAM_PARAMS_POSE = 6  # tx ty tz rx ry rz
-CAM_PARAMS_POSE_FOCAL = 7  # + focal length
+
+# Behind-camera residual inflation, shared with the dense path
+# (ref: src/mmSolver/adjust/adjust_measureErrors.cpp:262-270).
+BEHIND_CAMERA_ERROR_FACTOR = 1.0e6
 
 
 @jax.tree_util.register_dataclass
@@ -51,35 +73,84 @@ class BAProblem:
     marker_uv: jax.Array  # (M, F, 2) observed, film-fit-scaled space
     weight: jax.Array  # (M, F) sqrt-applied marker weights * mask
     mkr_bnd_index: jax.Array  # (M,) bundle index per marker
-    cam_params: jax.Array  # (F, P_c) initial camera params
+    cam_params: jax.Array  # (F, 6) initial camera pose params
     bnd_params: jax.Array  # (B, 3) initial bundle positions
+    shared_params: jax.Array  # (S,) border params: [focal?] + lens
     intrinsics: jax.Array  # (F, 8) [focal, fbw_mm, fbh_mm, offx_mm,
     #                       offy_mm, far_cm, cam_scale, render_aspect]
+    lens_params: jax.Array  # (P_l,) full fixed lens parameter vector
+    lens_pixel_aspect: jax.Array  # () pixel aspect for the lens model
     film_fit: int = dataclasses.field(metadata={"static": True})
     rotate_order: int = dataclasses.field(metadata={"static": True})
     image_width: float = dataclasses.field(metadata={"static": True})
+    # Border layout: focal first (if solved), then the lens parameters
+    # selected by lens_solve_mask, in model field order.
     solve_focal: bool = dataclasses.field(metadata={"static": True})
+    lens_model_type: str = dataclasses.field(metadata={"static": True})
+    lens_solve_mask: Tuple[bool, ...] = dataclasses.field(
+        metadata={"static": True}
+    )
+    loss_type: int = dataclasses.field(metadata={"static": True})
+    loss_scale: float = dataclasses.field(metadata={"static": True})
 
     def _replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
+
+    @property
+    def num_shared(self):
+        return int(self.solve_focal) + sum(
+            1 for m in self.lens_solve_mask if m
+        )
 
 
 class BAResult(NamedTuple):
     cam_params: jax.Array
     bnd_params: jax.Array
+    shared_params: jax.Array
     cost: jax.Array
     cost_initial: jax.Array
     iterations: jax.Array
-    stop_reason: jax.Array
+    stop_reason: jax.Array  # 1 ftol, 2 xtol, 3 gtol, 4 maxiter, 5 fail
+    gradient_norm: jax.Array
 
 
-def _observation_residual(cam_vec, bnd_vec, intr, problem_static, uv):
+def _static_cfg(problem: BAProblem):
+    return (
+        problem.film_fit,
+        problem.rotate_order,
+        problem.image_width,
+        problem.solve_focal,
+        problem.lens_model_type,
+        problem.lens_solve_mask,
+        problem.loss_type,
+        problem.loss_scale,
+    )
+
+
+def _lens_model(model_type, values):
+    from mayamatchmovesolver_tpu.models import scenelens
+
+    return scenelens._build_model(model_type, values)
+
+
+def _observation_residual(cam_vec, bnd_vec, shared_vec, intr, weight,
+                          lens_fixed, pixel_aspect, static_cfg, uv):
     """Residual of ONE (marker, frame) observation; the unit the
-    Jacobians differentiate.  cam_vec: (P_c,), bnd_vec: (3,)."""
-    film_fit, rotate_order, image_width, solve_focal = problem_static
+    Jacobians differentiate.  cam_vec: (6,), bnd_vec: (3,),
+    shared_vec: (S,), weight: scalar sqrt-weight*mask.
+
+    Matches the dense path's marker residual exactly
+    (solver/problem.py measure_residuals): film-fit projection, lens
+    distortion of the reprojected point, behind-camera x1e6, NaN guard,
+    sqrt-weight scaling, then the robust-loss rescale."""
+    (film_fit, rotate_order, image_width, solve_focal,
+     lens_model_type, lens_solve_mask, loss_type, loss_scale) = static_cfg
+
     tx, ty, tz, rx, ry, rz = cam_vec[:6]
+    s_idx = 0
     if solve_focal:
-        focal = cam_vec[6]
+        focal = shared_vec[0]
+        s_idx = 1
     else:
         focal = intr[0]
     fbw_mm, fbh_mm = intr[1], intr[2]
@@ -104,68 +175,158 @@ def _observation_residual(cam_vec, bnd_vec, intr, problem_static, uv):
         cam_scale,
     )
     p = jnp.concatenate([bnd_vec, jnp.ones(1, bnd_vec.dtype)])
-    clip = proj @ (cam_inv @ p)
+    p_cam = cam_inv @ p
+    clip = proj @ p_cam
     point_xy = clip[:2] / clip[3] * 0.5
-    return (uv - point_xy) * image_width
+
+    # Lens distortion of the reprojected point, with the dense path's
+    # NaN fallback (ref: adjust_measureErrors.cpp:249-270,464-480).
+    if lens_model_type:
+        from mayamatchmovesolver_tpu.models import base as lens_base
+        from mayamatchmovesolver_tpu.models import tde
+
+        values = []
+        si = s_idx
+        for pi, solved in enumerate(lens_solve_mask):
+            if solved:
+                values.append(shared_vec[si])
+                si += 1
+            else:
+                values.append(lens_fixed[pi])
+        model = _lens_model(lens_model_type, values)
+        fb = lens_base.FilmBack(
+            film_back_width_cm=fbw_mm * 0.1,
+            film_back_height_cm=fbh_mm * 0.1,
+            lens_center_offset_x_cm=offx_mm * 0.1,
+            lens_center_offset_y_cm=offy_mm * 0.1,
+            pixel_aspect=pixel_aspect,
+        )
+        mapped = tde.distort(model, fb, point_xy)
+        point_xy = jnp.where(jnp.isfinite(mapped), mapped, point_xy)
+
+    # Behind-camera: the camera looks down its local -Z, so a point
+    # with positive camera-space z is behind (piecewise-constant
+    # factor, like the dense path's jnp.where weight).
+    behind = p_cam[2] > 0.0
+    factor = jnp.where(behind, BEHIND_CAMERA_ERROR_FACTOR, 1.0)
+
+    d = (uv - point_xy) * image_width
+    d = jnp.where(jnp.isfinite(d), d, 0.0)
+    r = d * (factor * weight)
+    return loss_mod.apply_loss_to_residuals(r, loss_type, loss_scale)
 
 
-def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params):
-    """All residuals + per-observation Jacobian blocks, batched."""
-    static = (
-        problem.film_fit,
-        problem.rotate_order,
-        problem.image_width,
-        problem.solve_focal,
-    )
+def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
+                         shared_params):
+    """All residuals + per-observation Jacobian blocks, batched.
+
+    Returns (r, j_cam, j_bnd, j_shared) shaped (M, F, 2[, ...])."""
+    static = _static_cfg(problem)
     bnd_per_marker = bnd_params[problem.mkr_bnd_index]  # (M, 3)
 
-    def per_obs(cam_vec, bnd_vec, intr, uv):
-        return _observation_residual(cam_vec, bnd_vec, intr, static, uv)
-
-    # vmap over frames (cam axis) then markers.
-    def per_marker(bnd_vec, uv_row):
-        # uv_row: (F, 2); map over frames.
-        f = lambda cam_vec, intr, uv: per_obs(  # noqa: E731
-            cam_vec, bnd_vec, intr, uv
+    def obs(cam_vec, bnd_vec, shared, intr, w, uv):
+        return _observation_residual(
+            cam_vec, bnd_vec, shared, intr, w,
+            problem.lens_params, problem.lens_pixel_aspect, static, uv,
         )
-        r = jax.vmap(f)(cam_params, problem.intrinsics, uv_row)
-        jc = jax.vmap(jax.jacfwd(f, argnums=0))(
-            cam_params, problem.intrinsics, uv_row
-        )
-        jb = jax.vmap(
-            lambda cam_vec, intr, uv: jax.jacfwd(
-                lambda b: per_obs(cam_vec, b, intr, uv)
-            )(bnd_vec)
-        )(cam_params, problem.intrinsics, uv_row)
-        return r, jc, jb
 
-    r, j_cam, j_bnd = jax.vmap(per_marker)(
-        bnd_per_marker, problem.marker_uv
+    jac = jax.jacfwd(obs, argnums=(0, 1, 2))
+
+    def per_marker(bnd_vec, uv_row, w_row):
+        def frame_fn(cam_vec, intr, w, uv):
+            return (
+                obs(cam_vec, bnd_vec, shared_params, intr, w, uv),
+                jac(cam_vec, bnd_vec, shared_params, intr, w, uv),
+            )
+
+        r, (jc, jb, js) = jax.vmap(frame_fn)(
+            cam_params, problem.intrinsics, w_row, uv_row
+        )
+        return r, jc, jb, js
+
+    r, j_cam, j_bnd, j_sh = jax.vmap(per_marker)(
+        bnd_per_marker, problem.marker_uv, problem.weight
     )
-    # r: (M, F, 2); j_cam: (M, F, 2, P_c); j_bnd: (M, F, 2, 3).
-    w = problem.weight[..., None]
-    r = r * w
-    j_cam = j_cam * w[..., None]
-    j_bnd = j_bnd * w[..., None]
-    return r, j_cam, j_bnd
+    # r: (M, F, 2); j_cam: (M, F, 2, 6); j_bnd: (M, F, 2, 3);
+    # j_sh: (M, F, 2, S).
+    return r, j_cam, j_bnd, j_sh
 
 
-def _schur_normal_step(problem, cam_params, bnd_params, mu):
-    """One damped Gauss-Newton step via Schur elimination of bundles.
+def ba_residuals(problem: BAProblem, cam_params, bnd_params,
+                 shared_params=None):
+    """Residual tensor (M, F, 2) without Jacobians — the cheap
+    accept/reject evaluation, and the ground-truth synthesis hook for
+    tests/bench (observations generated through the model itself)."""
+    if shared_params is None:
+        shared_params = problem.shared_params
+    static = _static_cfg(problem)
+    bnd_per_marker = bnd_params[problem.mkr_bnd_index]
 
-    Returns (dx_cam (F,P_c), dx_bnd (B,3), cost, grad_inf_norm).
-    """
-    r, j_cam, j_bnd = _residual_and_blocks(problem, cam_params, bnd_params)
+    def obs(cam_vec, bnd_vec, intr, w, uv):
+        return _observation_residual(
+            cam_vec, bnd_vec, shared_params, intr, w,
+            problem.lens_params, problem.lens_pixel_aspect, static, uv,
+        )
+
+    return jax.vmap(
+        lambda bnd_vec, uv_row, w_row: jax.vmap(
+            lambda cam_vec, intr, w, uv: obs(cam_vec, bnd_vec, intr, w,
+                                             uv)
+        )(cam_params, problem.intrinsics, w_row, uv_row)
+    )(bnd_per_marker, problem.marker_uv, problem.weight)
+
+
+def ba_cost(problem: BAProblem, cam_params, bnd_params, shared_params):
+    """Cost without Jacobians (cheaper accept/reject check)."""
+    r = ba_residuals(problem, cam_params, bnd_params, shared_params)
+    return 0.5 * jnp.sum(r * r)
+
+
+# Backwards-compatible private alias (bench/tests synthesize
+# observations through the residual program itself).
+def _ba_cost_only(problem, cam_params, bnd_params):
+    return ba_cost(problem, cam_params, bnd_params,
+                   problem.shared_params)
+
+
+def _damp(block, mu, floor=1e-12):
+    """Marquardt damping: add mu*diag to a (..., n, n) block."""
+    d = jnp.maximum(jnp.diagonal(block, axis1=-2, axis2=-1), floor)
+    return block + mu * d[..., None] * jnp.eye(
+        block.shape[-1], dtype=block.dtype
+    )
+
+
+class NormalBlocks(NamedTuple):
+    """Local (per-shard) normal-equation blocks of the arrowhead
+    system; the sharded path psums the bundle/border members."""
+
+    cost: jax.Array  # local 0.5*||r||^2
+    b_blocks: jax.Array  # (F, 6, 6) per-frame camera blocks
+    g_cam: jax.Array  # (F, 6)
+    a_blocks: jax.Array  # (B, 3, 3) per-bundle blocks (local sum)
+    g_bnd: jax.Array  # (B, 3) (local sum)
+    w_mf: jax.Array  # (M, F, 3, 6) bundle-camera coupling
+    hcs: jax.Array  # (F, 6, S) camera-border coupling
+    hbs: jax.Array  # (B, 3, S) bundle-border coupling (local sum)
+    hss: jax.Array  # (S, S) border block (local sum)
+    g_sh: jax.Array  # (S,) (local sum)
+    hbs_m: jax.Array  # (M, 3, S) per-marker bundle-border coupling
+
+
+def assemble_normal_blocks(problem: BAProblem, cam_params, bnd_params,
+                           shared_params) -> NormalBlocks:
+    """Assemble every block of the arrowhead normal equations from the
+    batched per-observation Jacobians (einsums -> MXU)."""
+    r, j_cam, j_bnd, j_sh = _residual_and_blocks(
+        problem, cam_params, bnd_params, shared_params
+    )
     num_bundles = bnd_params.shape[0]
-    num_frames, p_c = cam_params.shape
-
     cost = 0.5 * jnp.sum(r * r)
 
-    # Per-frame camera blocks: B_f = sum_m Jc^T Jc   (P_c x P_c).
     b_blocks = jnp.einsum("mfra,mfrb->fab", j_cam, j_cam)
     g_cam = jnp.einsum("mfra,mfr->fa", j_cam, r)
 
-    # Per-bundle blocks: A_b = sum over obs of marker(s) of bundle b.
     a_m = jnp.einsum("mfra,mfrb->mab", j_bnd, j_bnd)  # (M, 3, 3)
     a_blocks = jax.ops.segment_sum(
         a_m, problem.mkr_bnd_index, num_segments=num_bundles
@@ -175,95 +336,164 @@ def _schur_normal_step(problem, cam_params, bnd_params, mu):
         g_bnd_m, problem.mkr_bnd_index, num_segments=num_bundles
     )
 
-    # Marquardt damping on both diagonals.
-    def damp(block, mu):
-        d = jnp.maximum(
-            jnp.diagonal(block, axis1=-2, axis2=-1), 1e-12
-        )
-        return block + mu * d[..., None] * jnp.eye(
-            block.shape[-1], dtype=block.dtype
-        )
-
-    a_damped = damp(a_blocks, mu)
-    b_damped = damp(b_blocks, mu)
-
-    # W_{m,f} = Jb^T Jc per observation (3 x P_c), grouped by marker.
+    # W_{m,f} = Jb^T Jc per observation (3 x 6), grouped by marker.
     w_mf = jnp.einsum("mfra,mfrb->mfab", j_bnd, j_cam)
 
-    # A^{-1} per bundle via closed-form 3x3 inverse.
-    a_inv = tfm_math.inverse3(a_damped)  # (B, 3, 3)
-    a_inv_m = a_inv[problem.mkr_bnd_index]  # (M, 3, 3)
+    # Border couplings.
+    hcs = jnp.einsum("mfra,mfrs->fas", j_cam, j_sh)  # (F, 6, S)
+    hbs_m = jnp.einsum("mfra,mfrs->mas", j_bnd, j_sh)  # (M, 3, S)
+    hbs = jax.ops.segment_sum(
+        hbs_m, problem.mkr_bnd_index, num_segments=num_bundles
+    )
+    hss = jnp.einsum("mfrs,mfrt->st", j_sh, j_sh)  # (S, S)
+    g_sh = jnp.einsum("mfrs,mfr->s", j_sh, r)  # (S,)
 
-    # Reduced camera system S (F*P_c square), built as
-    # S = blkdiag(B_f) - sum_m (A^-1/2 W)^T (A^-1/2 W):
-    # use Y_{m,f} = A_m^{-1} W_{m,f}; S_{f,f'} -= W_{m,f}^T Y_{m,f'}.
-    y_mf = jnp.einsum("mab,mfbc->mfac", a_inv_m, w_mf)
-    s_cross = jnp.einsum("mfab,mgac->fbgc", w_mf, y_mf)
+    return NormalBlocks(
+        cost=cost, b_blocks=b_blocks, g_cam=g_cam, a_blocks=a_blocks,
+        g_bnd=g_bnd, w_mf=w_mf, hcs=hcs, hbs=hbs, hss=hss, g_sh=g_sh,
+        hbs_m=hbs_m,
+    )
+
+
+def reduce_arrowhead(blocks: NormalBlocks, mkr_bnd_index, mu):
+    """Eliminate bundles from the arrowhead normal equations.
+
+    Returns (s_dense, rhs, a_inv, diag, g) where s_dense is the
+    (F*6+S, F*6+S) reduced system over [camera blocks | border], rhs
+    its right-hand side, a_inv the damped per-bundle inverses for
+    back-substitution, diag the undamped diagonal of the full system
+    (for the gain ratio) and g the full gradient pieces."""
+    num_frames = blocks.b_blocks.shape[0]
+    p_c = blocks.b_blocks.shape[-1]
+    num_shared = blocks.hss.shape[0]
+
+    a_damped = _damp(blocks.a_blocks, mu)
+    b_damped = _damp(blocks.b_blocks, mu)
+
+    a_inv = tfm_math.inverse3(a_damped)  # (B, 3, 3)
+    a_inv_m = a_inv[mkr_bnd_index]  # (M, 3, 3)
+
+    # Reduced camera-camera system: S_cc = blkdiag(B_f) - sum_m
+    # W_{m,f}^T A_m^{-1} W_{m,f'}.
+    y_mf = jnp.einsum("mab,mfbc->mfac", a_inv_m, blocks.w_mf)
+    s_cross = jnp.einsum("mfab,mgac->fbgc", blocks.w_mf, y_mf)
     s = -s_cross
     idx = jnp.arange(num_frames)
     s = s.at[idx, :, idx, :].add(b_damped)
-    s_dense = s.reshape(num_frames * p_c, num_frames * p_c)
+    s_cc = s.reshape(num_frames * p_c, num_frames * p_c)
 
-    # RHS: g_cam_reduced = g_cam - sum_m W^T A^-1 g_bnd.
-    g_bnd_inv = jnp.einsum(
-        "mab,mb->ma", a_inv_m, g_bnd[problem.mkr_bnd_index]
+    # Camera RHS: g_cam - sum_m W^T A^-1 g_bnd.
+    g_bnd_pre = jnp.einsum(
+        "mab,mb->ma", a_inv_m, blocks.g_bnd[mkr_bnd_index]
     )
-    rhs = g_cam - jnp.einsum("mfab,ma->fb", w_mf, g_bnd_inv)
-
-    dx_cam = -linalg.solve_spd(s_dense, rhs.reshape(-1)).reshape(
-        num_frames, p_c
+    rhs_c = blocks.g_cam - jnp.einsum(
+        "mfab,ma->fb", blocks.w_mf, g_bnd_pre
     )
 
-    # Back-substitute bundles: dx_b = -A^-1 (g_b + sum_f W dx_cam_f).
-    w_dx = jnp.einsum("mfab,fb->ma", w_mf, dx_cam)
+    if num_shared:
+        hss_damped = _damp(blocks.hss, mu)
+        # Border elimination pieces: Y_b = A_b^-1 Hbs_b.
+        y_bs = jnp.einsum("bac,bcs->bas", a_inv, blocks.hbs)  # (B,3,S)
+        y_bs_m = y_bs[mkr_bnd_index]  # (M, 3, S)
+        s_cs = blocks.hcs - jnp.einsum(
+            "mfab,mas->fbs", blocks.w_mf, y_bs_m
+        )  # (F, 6, S)
+        s_ss = hss_damped - jnp.einsum(
+            "bas,bat->st", blocks.hbs, y_bs
+        )  # (S, S)
+        rhs_s = blocks.g_sh - jnp.einsum(
+            "bas,ba->s", y_bs, blocks.g_bnd
+        )
+        n = num_frames * p_c + num_shared
+        s_dense = jnp.zeros((n, n), s_cc.dtype)
+        s_dense = s_dense.at[: num_frames * p_c,
+                             : num_frames * p_c].set(s_cc)
+        s_cs_flat = s_cs.reshape(num_frames * p_c, num_shared)
+        s_dense = s_dense.at[: num_frames * p_c,
+                             num_frames * p_c:].set(s_cs_flat)
+        s_dense = s_dense.at[num_frames * p_c:,
+                             : num_frames * p_c].set(s_cs_flat.T)
+        s_dense = s_dense.at[num_frames * p_c:,
+                             num_frames * p_c:].set(s_ss)
+        rhs = jnp.concatenate([rhs_c.reshape(-1), rhs_s])
+    else:
+        s_dense = s_cc
+        rhs = rhs_c.reshape(-1)
+    return s_dense, rhs, a_inv
+
+
+def _schur_normal_step(problem: BAProblem, cam_params, bnd_params,
+                       shared_params, mu):
+    """One damped Gauss-Newton step via Schur elimination of bundles
+    plus the shared-parameter border.
+
+    Returns (dx_cam, dx_bnd, dx_shared, cost, gnorm, predicted) where
+    predicted is the LM model's predicted cost reduction
+    0.5*(dx^T(mu*D)dx - dx^T g) for the gain ratio."""
+    blocks = assemble_normal_blocks(
+        problem, cam_params, bnd_params, shared_params
+    )
+    num_frames, p_c = cam_params.shape
+    num_shared = shared_params.shape[0]
+
+    s_dense, rhs, a_inv = reduce_arrowhead(
+        blocks, problem.mkr_bnd_index, mu
+    )
+    dx_all = -linalg.solve_spd(s_dense, rhs)
+    dx_cam = dx_all[: num_frames * p_c].reshape(num_frames, p_c)
+    dx_sh = dx_all[num_frames * p_c:]
+
+    # Back-substitute bundles:
+    # dx_b = -A^-1 (g_b + sum_f W dx_cam_f + Hbs dx_s).
+    w_dx = jnp.einsum("mfab,fb->ma", blocks.w_mf, dx_cam)
     w_dx_b = jax.ops.segment_sum(
-        w_dx, problem.mkr_bnd_index, num_segments=num_bundles
+        w_dx, problem.mkr_bnd_index,
+        num_segments=bnd_params.shape[0],
     )
-    dx_bnd = -jnp.einsum("bij,bj->bi", a_inv, g_bnd + w_dx_b)
+    rhs_b = blocks.g_bnd + w_dx_b
+    if num_shared:
+        rhs_b = rhs_b + jnp.einsum("bas,s->ba", blocks.hbs, dx_sh)
+    dx_bnd = -jnp.einsum("bij,bj->bi", a_inv, rhs_b)
 
     gnorm = jnp.maximum(
-        jnp.max(jnp.abs(g_cam)), jnp.max(jnp.abs(g_bnd))
+        jnp.max(jnp.abs(blocks.g_cam)), jnp.max(jnp.abs(blocks.g_bnd))
     )
-    diag_a = jnp.diagonal(a_blocks, axis1=-2, axis2=-1)
-    diag_b = jnp.diagonal(b_blocks, axis1=-2, axis2=-1)
-    return dx_cam, dx_bnd, cost, gnorm, diag_a, diag_b, g_cam, g_bnd
+    if num_shared:
+        gnorm = jnp.maximum(gnorm, jnp.max(jnp.abs(blocks.g_sh)))
 
-
-def _ba_cost(problem, cam_params, bnd_params):
-    r, _, _ = _residual_and_blocks(problem, cam_params, bnd_params)
-    return 0.5 * jnp.sum(r * r)
-
-
-def _ba_cost_only(problem, cam_params, bnd_params):
-    """Cost without Jacobians (cheaper accept/reject check)."""
-    static = (
-        problem.film_fit,
-        problem.rotate_order,
-        problem.image_width,
-        problem.solve_focal,
+    # Predicted reduction of the LM model (for the true gain ratio):
+    # with (H + mu D) dx = -g, pred = 0.5*(dx^T (mu D) dx - dx^T g).
+    diag_b = jnp.maximum(
+        jnp.diagonal(blocks.b_blocks, axis1=-2, axis2=-1), 1e-12
     )
-    bnd_per_marker = bnd_params[problem.mkr_bnd_index]
-
-    def per_obs(cam_vec, bnd_vec, intr, uv):
-        return _observation_residual(cam_vec, bnd_vec, intr, static, uv)
-
-    r = jax.vmap(
-        lambda bnd_vec, uv_row: jax.vmap(
-            lambda cam_vec, intr, uv: per_obs(cam_vec, bnd_vec, intr, uv)
-        )(cam_params, problem.intrinsics, uv_row)
-    )(bnd_per_marker, problem.marker_uv)
-    r = r * problem.weight[..., None]
-    return 0.5 * jnp.sum(r * r)
+    diag_a = jnp.maximum(
+        jnp.diagonal(blocks.a_blocks, axis1=-2, axis2=-1), 1e-12
+    )
+    pred = 0.5 * (
+        mu * jnp.sum(diag_b * dx_cam * dx_cam)
+        + mu * jnp.sum(diag_a * dx_bnd * dx_bnd)
+        - jnp.sum(dx_cam * blocks.g_cam)
+        - jnp.sum(dx_bnd * blocks.g_bnd)
+    )
+    if num_shared:
+        diag_s = jnp.maximum(jnp.diag(blocks.hss), 1e-12)
+        pred = pred + 0.5 * (
+            mu * jnp.sum(diag_s * dx_sh * dx_sh)
+            - jnp.sum(dx_sh * blocks.g_sh)
+        )
+    return dx_cam, dx_bnd, dx_sh, blocks.cost, gnorm, pred
 
 
 class _BAState(NamedTuple):
     cam: jax.Array
     bnd: jax.Array
+    sh: jax.Array
     cost: jax.Array
     mu: jax.Array
     nu: jax.Array
     it: jax.Array
     stop: jax.Array
+    gnorm: jax.Array
 
 
 def solve_ba(
@@ -274,65 +504,104 @@ def solve_ba(
     eps2=1e-8,
     eps3=1e-8,
 ) -> BAResult:
-    """LM over the Schur-structured normal equations.  Jittable."""
-    cost0 = _ba_cost_only(problem, problem.cam_params, problem.bnd_params)
+    """LM over the arrowhead-structured normal equations.  Jittable.
+
+    Stopping mirrors solver/lm.py (and cminpack in spirit): eps1 =
+    gradient inf-norm (gtol), eps2 = relative step size (xtol), eps3 =
+    relative cost reduction on an accepted step (ftol)."""
+    # TPU matmuls default to bfloat16 passes; the normal equations'
+    # einsum reductions and the Schur elimination need true f32
+    # accumulation or the arrowhead system turns singular on-chip
+    # (observed: stop=5 on the real TPU at default precision while the
+    # identical f32 program converges on CPU).
+    with jax.default_matmul_precision("float32"):
+        return _solve_ba_impl(
+            problem, max_iterations, tau, eps1, eps2, eps3
+        )
+
+
+def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3):
+    cost0 = ba_cost(
+        problem, problem.cam_params, problem.bnd_params,
+        problem.shared_params,
+    )
 
     init = _BAState(
         cam=problem.cam_params,
         bnd=problem.bnd_params,
+        sh=problem.shared_params,
         cost=cost0,
         mu=jnp.asarray(tau, problem.cam_params.dtype),
         nu=jnp.asarray(2.0, problem.cam_params.dtype),
         it=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(0, jnp.int32),
+        gnorm=jnp.asarray(jnp.inf, problem.cam_params.dtype),
     )
 
     def cond(s):
         return (s.stop == 0) & (s.it < max_iterations)
 
     def body(s):
-        (dx_cam, dx_bnd, cost, gnorm, _, _, _, _) = _schur_normal_step(
-            problem, s.cam, s.bnd, s.mu
+        dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = _schur_normal_step(
+            problem, s.cam, s.bnd, s.sh, s.mu
         )
-        ok = jnp.all(jnp.isfinite(dx_cam)) & jnp.all(
-            jnp.isfinite(dx_bnd)
+        ok = (
+            jnp.all(jnp.isfinite(dx_cam))
+            & jnp.all(jnp.isfinite(dx_bnd))
+            & jnp.all(jnp.isfinite(dx_sh))
         )
         dx_cam = jnp.where(ok, dx_cam, 0.0)
         dx_bnd = jnp.where(ok, dx_bnd, 0.0)
+        dx_sh = jnp.where(ok, dx_sh, 0.0)
 
         cam_new = s.cam + dx_cam
         bnd_new = s.bnd + dx_bnd
-        cost_new = _ba_cost_only(problem, cam_new, bnd_new)
+        sh_new = s.sh + dx_sh
+        cost_new = ba_cost(problem, cam_new, bnd_new, sh_new)
 
-        accept = ok & (cost_new < cost) & jnp.isfinite(cost_new)
-        rho_proxy = jnp.where(
-            accept, (cost - cost_new) / jnp.maximum(cost, 1e-300), 0.0
-        )
+        # True gain ratio + Nielsen's update (same as lm.py:234-236).
+        pred = jnp.maximum(pred, 1e-300)
+        rho = (cost - cost_new) / pred
+        accept = ok & (rho > 0.0) & jnp.isfinite(cost_new)
 
         cam2 = jnp.where(accept, cam_new, s.cam)
         bnd2 = jnp.where(accept, bnd_new, s.bnd)
+        sh2 = jnp.where(accept, sh_new, s.sh)
         cost2 = jnp.where(accept, cost_new, cost)
-        mu_new = jnp.where(accept, s.mu * (1.0 / 3.0), s.mu * s.nu)
+        mu_accept = s.mu * jnp.maximum(
+            1.0 / 3.0, 1.0 - (2.0 * rho - 1.0) ** 3
+        )
+        mu_new = jnp.where(accept, mu_accept, s.mu * s.nu)
         nu_new = jnp.where(accept, 2.0, s.nu * 2.0)
 
         step_norm = jnp.sqrt(
-            jnp.sum(dx_cam * dx_cam) + jnp.sum(dx_bnd * dx_bnd)
+            jnp.sum(dx_cam * dx_cam)
+            + jnp.sum(dx_bnd * dx_bnd)
+            + jnp.sum(dx_sh * dx_sh)
         )
         x_norm = jnp.sqrt(
-            jnp.sum(s.cam * s.cam) + jnp.sum(s.bnd * s.bnd)
+            jnp.sum(s.cam * s.cam)
+            + jnp.sum(s.bnd * s.bnd)
+            + jnp.sum(s.sh * s.sh)
         )
+        ftol_hit = accept & (
+            (cost - cost_new) <= eps3 * jnp.maximum(cost, 1e-300)
+        )
+        xtol_hit = step_norm <= eps2 * (x_norm + eps2)
+        gtol_hit = gnorm <= eps1
+        failed = (~ok) | (~jnp.isfinite(mu_new))
         stop = jnp.where(
-            gnorm <= eps1,
-            3,
+            failed,
+            5,
             jnp.where(
-                accept & (step_norm <= eps2 * (x_norm + eps2)),
-                2,
-                jnp.where(accept & (rho_proxy <= eps3), 1, 0),
+                gtol_hit,
+                3,
+                jnp.where(xtol_hit, 2, jnp.where(ftol_hit, 1, 0)),
             ),
         ).astype(jnp.int32)
         return _BAState(
-            cam=cam2, bnd=bnd2, cost=cost2, mu=mu_new, nu=nu_new,
-            it=s.it + 1, stop=stop,
+            cam=cam2, bnd=bnd2, sh=sh2, cost=cost2, mu=mu_new,
+            nu=nu_new, it=s.it + 1, stop=stop, gnorm=gnorm,
         )
 
     final = jax.lax.while_loop(cond, body, init)
@@ -340,10 +609,12 @@ def solve_ba(
     return BAResult(
         cam_params=final.cam,
         bnd_params=final.bnd,
+        shared_params=final.sh,
         cost=final.cost,
         cost_initial=cost0,
         iterations=final.it,
         stop_reason=stop,
+        gradient_norm=final.gnorm,
     )
 
 
@@ -366,34 +637,102 @@ def make_ba_problem(
     rotate_order=0,
     image_width: Optional[float] = None,
     solve_focal=False,
+    lens_model_type="",
+    lens_params: Optional[Sequence[float]] = None,
+    lens_solve_names: Optional[Sequence[str]] = None,
+    lens_pixel_aspect=1.0,
+    loss_type=0,
+    loss_scale=1.0,
+    intrinsics=None,
 ) -> BAProblem:
-    """Assemble a BAProblem with shared static intrinsics."""
+    """Assemble a BAProblem.
+
+    Shared (border) parameters — the reference's static attributes
+    (focal length, lens coefficients) coupling all frames — are
+    initialized from focal_length_mm / lens_params:
+      * solve_focal=True puts ONE focal length into the border (the
+        reference's static focal attribute semantics);
+      * lens_solve_names lists lens parameter fields to solve (any
+        subset of the model's fields); the rest stay fixed.
+    intrinsics may override the derived (F, 8) per-frame array.
+    """
     marker_uv = jnp.asarray(marker_uv)
     num_frames = marker_uv.shape[1]
     dtype = marker_uv.dtype
-    intr_row = jnp.asarray(
-        [
-            focal_length_mm,
-            film_back_width_mm,
-            film_back_height_mm,
-            film_offset_x_mm,
-            film_offset_y_mm,
-            far_clip_cm,
-            camera_scale,
-            float(render_width) / float(render_height),
-        ],
-        dtype,
-    )
-    intrinsics = jnp.broadcast_to(intr_row, (num_frames, 8))
+    if intrinsics is None:
+        intr_row = jnp.asarray(
+            [
+                focal_length_mm,
+                film_back_width_mm,
+                film_back_height_mm,
+                film_offset_x_mm,
+                film_offset_y_mm,
+                far_clip_cm,
+                camera_scale,
+                float(render_width) / float(render_height),
+            ],
+            dtype,
+        )
+        intrinsics = jnp.broadcast_to(intr_row, (num_frames, 8))
+    else:
+        intrinsics = jnp.asarray(intrinsics, dtype)
+
+    if lens_model_type:
+        from mayamatchmovesolver_tpu.models import scenelens
+
+        fields = scenelens._MODEL_FIELDS[lens_model_type]
+        defaults = scenelens._MODEL_DEFAULTS[lens_model_type]
+        if lens_params is None:
+            lens_values = [float(getattr(defaults, n)) for n in fields]
+        elif isinstance(lens_params, dict):
+            lens_values = [
+                float(lens_params.get(n, float(getattr(defaults, n))))
+                for n in fields
+            ]
+        else:
+            lens_values = [float(v) for v in lens_params]
+            if len(lens_values) != len(fields):
+                raise ValueError(
+                    "lens_params needs %d values for %s"
+                    % (len(fields), lens_model_type)
+                )
+        solve_names = set(lens_solve_names or ())
+        unknown = solve_names - set(fields)
+        if unknown:
+            raise ValueError(
+                "unknown lens fields for %s: %r"
+                % (lens_model_type, sorted(unknown))
+            )
+        lens_solve_mask = tuple(n in solve_names for n in fields)
+    else:
+        lens_values = []
+        lens_solve_mask = ()
+        if lens_solve_names:
+            raise ValueError("lens_solve_names without lens_model_type")
+
+    shared = []
+    if solve_focal:
+        shared.append(float(focal_length_mm))
+    for pi, solved in enumerate(lens_solve_mask):
+        if solved:
+            shared.append(lens_values[pi])
+
     return BAProblem(
         marker_uv=marker_uv,
         weight=jnp.sqrt(jnp.maximum(jnp.asarray(weight, dtype), 0.0)),
         mkr_bnd_index=jnp.asarray(mkr_bnd_index, jnp.int32),
         cam_params=jnp.asarray(cam_params, dtype),
         bnd_params=jnp.asarray(bnd_params, dtype),
+        shared_params=jnp.asarray(shared, dtype),
         intrinsics=intrinsics,
+        lens_params=jnp.asarray(lens_values, dtype),
+        lens_pixel_aspect=jnp.asarray(lens_pixel_aspect, dtype),
         film_fit=int(film_fit),
         rotate_order=int(rotate_order),
         image_width=float(image_width or render_width),
         solve_focal=bool(solve_focal),
+        lens_model_type=str(lens_model_type),
+        lens_solve_mask=lens_solve_mask,
+        loss_type=int(loss_type),
+        loss_scale=float(loss_scale),
     )

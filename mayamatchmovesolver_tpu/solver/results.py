@@ -56,6 +56,9 @@ class SolverResult:
     error_min: float = 0.0
     error_max: float = 0.0
     user_interrupted: bool = False
+    # Which registered backend actually ran (ref: the solverType flag
+    # echo in the reference's result strings, adjust_results.h).
+    solver_type_name: str = ""
     timer: SolverTimer = dataclasses.field(default_factory=SolverTimer)
     per_frame_error: FrameErrorList = dataclasses.field(
         default_factory=FrameErrorList
@@ -105,6 +108,8 @@ class SolverResult:
             "timer_jacobian=%g" % self.timer.jacobian_seconds,
             "user_interrupted=%d" % int(self.user_interrupted),
         ]
+        if self.solver_type_name:
+            out.append("solver_type=%s" % self.solver_type_name)
         for frame, err in zip(
             self.per_frame_error.frames, self.per_frame_error.errors
         ):

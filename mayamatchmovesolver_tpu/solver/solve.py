@@ -27,6 +27,21 @@ from mayamatchmovesolver_tpu.solver import results as results_mod
 from mayamatchmovesolver_tpu.solver.loss import RobustLossType
 
 
+
+def _f32_matmul(fn):
+    """Trace `fn` under float32 matmul precision: TPU matmuls default
+    to bfloat16 passes, which turn the solver's normal equations
+    singular on-chip (the einsum reductions and Cholesky need true f32
+    accumulation; identical programs converge on CPU)."""
+
+    @functools.wraps(fn)
+    def wrapper(*args, **kwargs):
+        with jax.default_matmul_precision("float32"):
+            return fn(*args, **kwargs)
+
+    return wrapper
+
+
 class FrameSolveMode(enum.IntEnum):
     """(ref: FrameSolveMode, adjust_data.h:74-78.)"""
 
@@ -279,12 +294,8 @@ def _resolve_solver_type(options: SolverOptions, problem):
         n_dev = len(jax.devices())
         if not all_static or int(problem.num_frames) % n_dev != 0:
             return registry_mod.SOLVER_TYPE_LM_DENSE
-    elif st in (registry_mod.SOLVER_TYPE_BA_SCHUR,
-                registry_mod.SOLVER_TYPE_BA_SHARDED):
-        # The structured BA backends run through solver.ba /
-        # parallel.ba_sharded on BAProblem layouts, not SolveProblem;
-        # generic solves fall back to the dense LM.
-        return registry_mod.SOLVER_TYPE_LM_DENSE
+    # BA backends are resolved by the bridge in solve() (they need the
+    # original scene/attr handles, not the flattened problem).
     return st
 
 
@@ -322,6 +333,87 @@ def _solve_problem_sharded(problem, config_static_tuple):
     return lm_result, attrs_out, aux0, aux1
 
 
+@functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
+def _ba_solve_jit(problem, config_static_tuple):
+    """One fully-fused Schur-BA solve."""
+    from mayamatchmovesolver_tpu.solver import ba as ba_lib
+
+    (max_it, tau, eps1, eps2, eps3) = config_static_tuple
+    return ba_lib.solve_ba(
+        problem, max_iterations=max_it, tau=tau,
+        eps1=eps1, eps2=eps2, eps3=eps3,
+    )
+
+
+@jax.jit
+@_f32_matmul
+def _measure_jit(problem, attrs):
+    return problem_mod.measure_residuals(problem, attrs)
+
+
+def _solve_problem_ba(problem, bridge, options, solver_type):
+    """Run the structured Schur BA (or its sharded variant) behind the
+    same result contract as the dense path.  Returns
+    (lm_result, attrs_out, aux0, aux1)."""
+    from mayamatchmovesolver_tpu.solver import ba as ba_lib
+
+    cfg = (
+        int(options.iterations), float(options.tau),
+        float(options.eps1), float(options.eps2), float(options.eps3),
+    )
+    if solver_type == registry_mod.SOLVER_TYPE_BA_SHARDED:
+        from jax.sharding import Mesh
+
+        from mayamatchmovesolver_tpu.parallel import ba_sharded
+
+        devices = jax.devices()
+        n_dev = len(devices)
+        num_frames = bridge.problem.cam_params.shape[0]
+        if n_dev > 1 and num_frames % n_dev == 0:
+            mesh = Mesh(np.asarray(devices), ("frames",))
+            sharded = ba_sharded.shard_ba_problem(bridge.problem, mesh)
+            s_res = ba_sharded.sharded_solve_ba(
+                sharded, mesh, max_iterations=cfg[0], tau=cfg[1],
+                eps1=cfg[2], eps2=cfg[3], eps3=cfg[4],
+            )
+            ba_result = ba_lib.BAResult(
+                cam_params=s_res.cam_params,
+                bnd_params=s_res.bnd_params,
+                shared_params=s_res.shared_params,
+                cost=s_res.cost,
+                cost_initial=s_res.cost_initial,
+                iterations=s_res.iterations,
+                stop_reason=s_res.stop_reason,
+                gradient_norm=jnp.zeros((), s_res.cost.dtype),
+            )
+        else:
+            # Mesh shape does not divide the frames: the single-chip
+            # Schur path is the same algorithm.
+            ba_result = _ba_solve_jit(bridge.problem, cfg)
+    else:
+        ba_result = _ba_solve_jit(bridge.problem, cfg)
+
+    attrs_out = bridge.apply_result(problem.attrs, ba_result)
+    _, aux0 = _measure_jit(problem, problem.attrs)
+    _, aux1 = _measure_jit(problem, attrs_out)
+    it = jnp.asarray(ba_result.iterations, jnp.int32)
+    lm_result = lm_mod.LMResult(
+        x=ba_result.cam_params.reshape(-1),
+        residuals=jnp.zeros(0, ba_result.cost.dtype),
+        cost=ba_result.cost,
+        cost_initial=ba_result.cost_initial,
+        iterations=it,
+        # One cost-only eval + one block assembly per iteration, plus
+        # the initial cost (the BA loop's actual evaluation count).
+        func_evals=2 * it + 1,
+        jacobian_evals=it,
+        stop_reason=ba_result.stop_reason,
+        gradient_norm=ba_result.gradient_norm,
+    )
+    return lm_result, attrs_out, aux0, aux1
+
+
 def _config_from_tuple(config_static_tuple):
     (max_it, tau, eps1, eps2, eps3, jac_mode) = config_static_tuple
     return lm_mod.LMConfig(
@@ -331,6 +423,7 @@ def _config_from_tuple(config_static_tuple):
 
 
 @functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
 def _lm_init_jit(problem, config_static_tuple):
     config = _config_from_tuple(config_static_tuple)
     fn = problem_mod.residual_fn(problem)
@@ -340,6 +433,7 @@ def _lm_init_jit(problem, config_static_tuple):
 
 
 @functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
 def _lm_block_jit(problem, config_static_tuple, state, limit):
     config = _config_from_tuple(config_static_tuple)
     fn = problem_mod.residual_fn(problem)
@@ -347,6 +441,7 @@ def _lm_block_jit(problem, config_static_tuple, state, limit):
 
 
 @functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
 def _lm_finalize_jit(problem, config_static_tuple, state, cost0):
     result = lm_mod.lm_finalize(state, cost0)
     attrs_out = problem_mod.insert_parameters(problem, result.x)
@@ -374,6 +469,10 @@ def _solve_problem_chunked(problem, config_static_tuple, options):
         it_done = int(state.it)
         if options.iteration_callback is not None:
             options.iteration_callback(it_done, float(state.cost))
+        if int(state.stop) != 0:
+            # Converged inside this block: report the real convergence
+            # reason, not a (now-moot) interruption/budget hit.
+            break
         if (options.interrupt_check is not None
                 and options.interrupt_check()):
             interrupted = True
@@ -389,6 +488,7 @@ def _solve_problem_chunked(problem, config_static_tuple, options):
 
 
 @functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
 def _solve_problem_jit(problem, config_static_tuple):
     """One fully-fused solve.  config is rebuilt from a hashable tuple so
     the jit cache keys on solver settings."""
@@ -455,16 +555,43 @@ def solve(
     t0 = time.perf_counter()
     solver_type = _resolve_solver_type(options, problem)
     interrupted = False
+    fallback_note = ""
     has_hooks = (
         options.iteration_callback is not None
         or options.interrupt_check is not None
         or options.max_seconds is not None
     )
+    ba_bridge_obj = None
+    if (
+        solver_type in (registry_mod.SOLVER_TYPE_BA_SCHUR,
+                        registry_mod.SOLVER_TYPE_BA_SHARDED)
+        and not has_hooks
+    ):
+        # SolveProblem -> BAProblem bridge: requests with the
+        # bundle-adjustment shape run the structured Schur backend;
+        # others fall back to the dense LM with the reason recorded
+        # (ref: one command surface dispatching every registered
+        # backend, adjust_base.cpp:80-127,713).
+        from mayamatchmovesolver_tpu.solver import ba_bridge
+
+        ba_bridge_obj, reason = ba_bridge.build_ba_bridge(
+            scene, attrs, frame_indices, solve_attrs, options,
+            marker_frame_mask=marker_frame_mask, stiffness=stiffness,
+            lens=lens, lines=lines,
+        )
+        if ba_bridge_obj is None:
+            fallback_note = " (ba fallback to dense: %s)" % reason
+            solver_type = registry_mod.SOLVER_TYPE_LM_DENSE
+
     if has_hooks:
         # Host hooks need control between iteration blocks; the
         # chunked dense driver provides it regardless of backend.
         (lm_result, attrs_out, aux0, aux1,
          interrupted) = _solve_problem_chunked(problem, cfg, options)
+    elif ba_bridge_obj is not None:
+        lm_result, attrs_out, aux0, aux1 = _solve_problem_ba(
+            problem, ba_bridge_obj, options, solver_type
+        )
     elif solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
         lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
             problem, cfg
@@ -491,6 +618,9 @@ def solve(
     result.stop_reason = int(lm_result.stop_reason)
     result.reason_string = results_mod.STOP_REASON_MESSAGES.get(
         result.stop_reason, ""
+    ) + fallback_note
+    result.solver_type_name = registry_mod.solver_name(
+        registry_mod.SOLVER_TYPE_LM_DENSE if has_hooks else solver_type
     )
     result.user_interrupted = interrupted
     if interrupted:
@@ -551,6 +681,7 @@ def _frame_stiff_weight(base, frame_idx):
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4))
+@_f32_matmul
 def _solve_per_frame_jit(base, frame_indices, full_mask,
                          config_static_tuple, accept_only_better):
     """The whole per-frame sweep as ONE program: vmapped LM over frames,
@@ -660,6 +791,7 @@ _KALMAN_PROCESS_VARIANCE = 1.0
 
 
 @functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@_f32_matmul
 def _solve_sequential_jit(base, frame_indices, full_mask,
                           config_static_tuple, accept_only_better,
                           warm_start):

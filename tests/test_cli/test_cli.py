@@ -110,6 +110,28 @@ def test_solve_verb_recovers_camera(tmp_path, capsys):
     np.testing.assert_allclose(tz, gt_tz, atol=2e-3)
 
 
+def test_solve_verb_ba_schur_backend(tmp_path, capsys):
+    """--solver-type ba_schur routes the joint camera+bundle solve
+    through the structured Schur backend (the bridge's CLI surface;
+    ref: the solverType flag of the reference's mmSolver command,
+    docs/source/commands_solve.rst)."""
+    uv_path = os.path.join(tmp_path, "markers.uv")
+    out_path = os.path.join(tmp_path, "solved.json")
+    init_path = os.path.join(tmp_path, "init.json")
+    sg, cam, _ = _write_uvtrack(uv_path)
+    with open(init_path, "w") as f:
+        json.dump({"camera": {"tz": 9.7}}, f)
+    rc = cli.main([
+        "solve", "--markers", uv_path, "--output", out_path,
+        "--iterations", "40", "--camera", init_path,
+        "--solver-type", "ba_schur",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "success=1" in out
+    assert "solver_type=ba_schur" in out
+
+
 def test_camera_solve_verb_runs(tmp_path, capsys):
     uv_path = os.path.join(tmp_path, "markers.uv")
     out_path = os.path.join(tmp_path, "sfm.json")

