@@ -258,6 +258,32 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
         for m in collection.markers:
             marker_mask[m.mkr_index] = True
 
+    # Exclude attributes that affect none of the collection's markers:
+    # their Jacobian columns are structurally zero and would make the
+    # normal equations singular (the reference splits and drops them
+    # before solving; ref: splitUsedMarkersAndAttributes,
+    # adjust_base.cpp:574, driven by the affects analysis).
+    solve_attributes = collection.attributes
+    if solve_attributes and getattr(collection.solver,
+                                    "requires_attributes", True):
+        from mayamatchmovesolver_tpu.solver import affects as affects_mod
+
+        _, _, used_attrs, unused_attrs = (
+            affects_mod.split_used_markers_and_attributes(
+                collection.markers, solve_attributes
+            )
+        )
+        if unused_attrs:
+            solve_attributes = used_attrs
+        if not solve_attributes:
+            result = results_mod.SolverResult()
+            result.success = False
+            result.reason_string = (
+                "no attribute affects any collection marker"
+            )
+            collection.last_results = [result]
+            return None, [result]
+
     # Per-attribute stiffness/smoothness soft constraints.
     stiffness = None
     if collection.stiffness_weights or collection.smoothness_weights:
@@ -296,7 +322,7 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
 
     solver = collection.solver
     new_attrs, results = solver.execute(
-        scene, attrs, collection.attributes, options,
+        scene, attrs, solve_attributes, options,
         lens=lens, marker_mask=marker_mask, stiffness=stiffness,
         lines=lines,
     )

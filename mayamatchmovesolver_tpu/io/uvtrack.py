@@ -200,8 +200,111 @@ def write_v4(file_path, mkr_data_list, camera_block=None):
                 "z_lock": md.bundle_lock_z,
             }
         points.append(entry)
-    data = {"version": 4, "points": points}
+    data = {
+        "version": 4,
+        "num_points": len(points),
+        "is_undistorted": None,  # deprecated field, kept for parity
+        "points": points,
+    }
     if camera_block is not None:
         data["camera"] = camera_block
     with open(file_path, "w") as f:
         json.dump(data, f, indent=1)
+
+
+def _point_entry(md, version):
+    """One point's JSON entry for the given format version."""
+    per_frame = []
+    for frame in md.x.get_times():
+        if md.enable.get_value(frame, 1) in (0, 0.0, False):
+            continue
+        row = {
+            "frame": int(frame),
+            "pos": [md.x.get_value(frame), md.y.get_value(frame)],
+            "weight": md.weight.get_value(frame, 1.0),
+        }
+        if version >= 3:
+            row["pos_dist"] = list(row["pos"])
+        per_frame.append(row)
+    entry = {
+        "name": md.name,
+        "id": md.id,
+        "set_name": md.group_name,
+        "per_frame": per_frame,
+    }
+    if version >= 3 and md.bundle_x is not None:
+        entry["3d"] = {
+            "x": md.bundle_x,
+            "y": md.bundle_y,
+            "z": md.bundle_z,
+            "x_lock": md.bundle_lock_x,
+            "y_lock": md.bundle_lock_y,
+            "z_lock": md.bundle_lock_z,
+        }
+    return entry
+
+
+def write_v1(file_path, mkr_data_list):
+    """ASCII v1: the format the 3DE/SynthEyes exporter scripts emit
+    (ref: uvtrack.py v1 docstring; share/3dequalizer exporters)."""
+    lines = ["%d\n" % len(mkr_data_list)]
+    for md in mkr_data_list:
+        frames = [
+            f for f in md.x.get_times()
+            if md.enable.get_value(f, 1) not in (0, 0.0, False)
+        ]
+        lines.append("%s\n" % (md.name or ""))
+        lines.append("%d\n" % len(frames))
+        for f in frames:
+            lines.append(
+                "%d %.15g %.15g %.15g\n"
+                % (int(f), md.x.get_value(f), md.y.get_value(f),
+                   md.weight.get_value(f, 1.0))
+            )
+    with open(file_path, "w") as fobj:
+        fobj.writelines(lines)
+
+
+def _write_json(file_path, mkr_data_list, version, camera_block=None,
+                is_undistorted=None):
+    points = [_point_entry(md, version) for md in mkr_data_list]
+    data = {
+        "version": int(version),
+        "num_points": len(points),
+        "is_undistorted": is_undistorted,
+        "points": points,
+    }
+    if camera_block is not None and version >= 4:
+        data["camera"] = camera_block
+    with open(file_path, "w") as f:
+        json.dump(data, f, indent=1)
+
+
+def write_v2(file_path, mkr_data_list, is_undistorted=True):
+    """JSON v2 (ref: uvtrack.py format-2 docstring — no 3D, no
+    pos_dist; is_undistorted still meaningful)."""
+    _write_json(file_path, mkr_data_list, 2,
+                is_undistorted=bool(is_undistorted))
+
+
+def write_v3(file_path, mkr_data_list):
+    """JSON v3 (ref: uvtrack.py format-3 docstring — pos+pos_dist,
+    optional '3d' bundle block)."""
+    _write_json(file_path, mkr_data_list, 3)
+
+
+def write(file_path, mkr_data_list, version=4, camera_block=None):
+    """Write any uvtrack version (exporter-side parity with the
+    reference's share/ 3DE/Blender/SynthEyes scripts, which emit this
+    family of formats)."""
+    version = int(version)
+    if version == 1:
+        write_v1(file_path, mkr_data_list)
+    elif version == 2:
+        write_v2(file_path, mkr_data_list)
+    elif version == 3:
+        write_v3(file_path, mkr_data_list)
+    elif version == 4:
+        write_v4(file_path, mkr_data_list, camera_block=camera_block)
+    else:
+        raise ValueError("unknown uvtrack version: %r" % version)

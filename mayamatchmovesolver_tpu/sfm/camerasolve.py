@@ -240,7 +240,7 @@ def camera_solve(
     # the frame's pose.
     resect = jax.jit(
         lambda p3, p2, w, k: twoview.robust_resection_pose(
-            p3, p2, key=k, num_hypotheses=128, weights=w,
+            p3, p2, key=k, num_hypotheses=64, weights=w,
             inlier_threshold=4e-4,
         )
     )

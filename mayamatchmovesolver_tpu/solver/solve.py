@@ -93,6 +93,12 @@ class SolverOptions:
     interrupt_check: Optional[Callable] = None
     max_seconds: Optional[float] = None
     callback_interval: int = 5
+    # Sequential per-frame Kalman warm-start tuning (ref: the execute
+    # layer's value-prediction constants, _execute/main.py:483-497):
+    # smaller measurement variance trusts each solved frame more;
+    # larger process variance lets the prediction drift faster.
+    kalman_measurement_variance: float = 1.0
+    kalman_process_variance: float = 1.0
 
 
 def _lm_config(options: SolverOptions):
@@ -312,21 +318,23 @@ def _solve_problem_sharded(problem, config_static_tuple):
     mesh = make_frame_mesh()
     sharded = shard_problem_arrays(problem, mesh)
     x0 = problem_mod.initial_parameters(sharded)
-    _, aux0 = problem_mod.measure_residuals(sharded, sharded.attrs)
+    r0, aux0 = problem_mod.measure_residuals(sharded, sharded.attrs)
     state = sharded_levenberg_marquardt(
         sharded, x0, mesh, max_iterations=max_it, tau=tau,
         eps1=eps1, eps2=eps2, eps3=eps3,
     )
     attrs_out = problem_mod.insert_parameters(sharded, state.params)
-    _, aux1 = problem_mod.measure_residuals(sharded, attrs_out)
+    r1, aux1 = problem_mod.measure_residuals(sharded, attrs_out)
     lm_result = lm_mod.LMResult(
         x=state.params,
-        residuals=jnp.zeros(0, state.params.dtype),
+        residuals=r1,
         cost=state.cost,
-        cost_initial=state.cost,
+        cost_initial=0.5 * jnp.sum(r0 * r0),
         iterations=state.it,
-        func_evals=2 * state.it,
-        jacobian_evals=state.it,
+        # The sharded loop evaluates one normal system (residual +
+        # JtJ/Jtr reduce) per iteration plus the initial one.
+        func_evals=state.it + 1,
+        jacobian_evals=state.it + 1,
         stop_reason=jnp.where(state.stop == 0, 4, state.stop),
         gradient_norm=jnp.zeros((), state.params.dtype),
     )
@@ -783,18 +791,12 @@ def _solve_per_frame_jit(base, frame_indices, full_mask,
     return attrs_out, batched, aux, improved
 
 
-# Kalman measurement/process variances for the sequential warm-start
-# (ref: the execute layer's value prediction constants,
-# python/mmSolver/_api/_execute/main.py:483-497).
-_KALMAN_MEASUREMENT_VARIANCE = 1.0
-_KALMAN_PROCESS_VARIANCE = 1.0
-
-
-@functools.partial(jax.jit, static_argnums=(3, 4, 5))
+@functools.partial(jax.jit, static_argnums=(3, 4, 5, 6, 7))
 @_f32_matmul
 def _solve_sequential_jit(base, frame_indices, full_mask,
                           config_static_tuple, accept_only_better,
-                          warm_start):
+                          warm_start, kalman_measurement_variance=1.0,
+                          kalman_process_variance=1.0):
     """Sequential per-frame sweep as one lax.scan: each frame starts
     from a Kalman prediction fused from the previously solved frames
     (ref: the attribute value prediction between per-frame solves,
@@ -859,7 +861,7 @@ def _solve_sequential_jit(base, frame_indices, full_mask,
         anim_out = anim.at[channels, frame_idx].set(accepted)
 
         # Kalman fuse + predict for the next frame's warm start.
-        meas_var = jnp.full_like(var, _KALMAN_MEASUREMENT_VARIANCE)
+        meas_var = jnp.full_like(var, kalman_measurement_variance)
         fused = kalmanfilter.update(
             kalmanfilter.State(value=mean, mean=mean, variance=var),
             kalmanfilter.State(
@@ -874,14 +876,14 @@ def _solve_sequential_jit(base, frame_indices, full_mask,
             kalmanfilter.State(
                 value=0.0, mean=jnp.zeros_like(mean),
                 variance=jnp.full_like(
-                    var, _KALMAN_PROCESS_VARIANCE
+                    var, kalman_process_variance
                 ),
             ),
         )
         first = n_solved == 0
         mean_out = jnp.where(first, accepted, predicted.mean)
         var_out = jnp.where(
-            first, jnp.full_like(var, _KALMAN_PROCESS_VARIANCE),
+            first, jnp.full_like(var, kalman_process_variance),
             predicted.variance,
         )
         if not warm_start:
@@ -1004,6 +1006,8 @@ def solve_per_frame(
             base, jnp.asarray(frame_indices), jnp.asarray(full_mask),
             cfg, bool(options.accept_only_better),
             bool(kalman_warm_start),
+            float(options.kalman_measurement_variance),
+            float(options.kalman_process_variance),
         )
     else:
         attrs_out, batched, aux, improved = _solve_per_frame_jit(

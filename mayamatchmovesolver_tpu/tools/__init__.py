@@ -22,11 +22,19 @@ Module map (reference tool package -> module here):
   loadlens / savelensfile       -> io.lensfile
   loadmarker / savemarkerfile   -> io.uvtrack + io.formatmanager
   copypastecamera               -> io.camerafile
+  attachbundletocurve           -> tools.curves
+  deformmarker, togglecameradistort -> tools.deformmarker
+  subdivideline                 -> tools.subdivideline
+  copypastemarker               -> tools.copypastemarker
+  surfacecluster, createrivet (utils/rivet) -> tools.surfacecluster
 """
 
 from mayamatchmovesolver_tpu.tools import (  # noqa: F401
     attributebake,
     centertwodee,
+    copypastemarker,
+    curves,
+    deformmarker,
     deviation,
     imageplane,
     markertools,
@@ -35,4 +43,6 @@ from mayamatchmovesolver_tpu.tools import (  # noqa: F401
     reparent,
     scaleadjust,
     screenspace,
+    subdivideline,
+    surfacecluster,
 )

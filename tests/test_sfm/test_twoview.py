@@ -150,7 +150,7 @@ def test_robust_resection_survives_outliers():
     # ...RANSAC rejects them and recovers the exact pose.
     pose = twoview.robust_resection_pose(
         jnp.asarray(pts3d), jnp.asarray(p2_bad),
-        key=jax.random.PRNGKey(3), num_hypotheses=256,
+        key=jax.random.PRNGKey(3), num_hypotheses=96,
         inlier_threshold=1e-6,
     )
     np.testing.assert_allclose(np.asarray(pose.rotation), r, atol=1e-5)

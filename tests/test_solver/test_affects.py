@@ -81,3 +81,123 @@ def test_summary_string():
         [mkr_a], [bnd_a.attr("tx"), bnd_b.attr("tx")]
     )
     assert "mkrA: bndA.tx" in text
+
+
+def test_error_to_parameter_mask_matches_jacfwd():
+    """The affects mask IS the analytic Jacobian's structural sparsity:
+    on a two-camera scene, jacfwd's marker-error rows must be zero
+    everywhere the mask is False (round-3 verdict #10; ref: the
+    errorToParamList bitmap gating Jacobian work,
+    adjust_solveFunc.cpp:187-226)."""
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.scene import evaluate
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+    from mayamatchmovesolver_tpu.solver import SolverOptions
+    from mayamatchmovesolver_tpu.solver import problem as problem_mod
+
+    solve_mod = importlib.import_module(
+        "mayamatchmovesolver_tpu.solver.solve"
+    )
+
+    sg = SceneGraph(frame_range=(1, 3))
+    cam_a = sg.create_camera("camA", tz=10.0, tx=np.zeros(3))
+    cam_b = sg.create_camera("camB", tz=8.0, tx=2.0 + np.zeros(3))
+    bnd_a = sg.create_bundle("bndA", tx=0.5, ty=0.2, tz=-5.0)
+    bnd_b = sg.create_bundle("bndB", tx=1.5, ty=-0.3, tz=-4.0)
+    mkr_a = sg.create_marker("mkrA", camera=cam_a, bundle=bnd_a,
+                             tx=np.zeros(3), ty=np.zeros(3))
+    mkr_b = sg.create_marker("mkrB", camera=cam_b, bundle=bnd_b,
+                             tx=np.zeros(3), ty=np.zeros(3))
+    scene, attr_block = sg.bake()
+    fi = jnp.arange(3)
+    ev = evaluate(scene, attr_block, fi)
+    attr_block = set_marker_screen_positions(scene, attr_block, fi,
+                                             ev.point_xy)
+
+    solve_attrs = [
+        bnd_a.attr("tx"),            # static, affects mkrA only
+        bnd_b.attr("ty"),            # static, affects mkrB only
+        cam_a.attr("tx"),            # animated, affects mkrA only
+        cam_b.attr("focal_length_mm"),  # static, affects mkrB only
+    ]
+    options = SolverOptions(image_width=1920.0)
+    problem = solve_mod.build_problem(
+        scene, attr_block, np.arange(3), solve_attrs, options
+    )
+    fn = problem_mod.residual_fn(problem)
+    x0 = problem_mod.initial_parameters(problem)
+    j = np.asarray(jax.jacfwd(fn)(x0))
+
+    mask = affects.error_to_parameter_matrix(
+        [mkr_a, mkr_b], solve_attrs, num_frames=3,
+    )
+    n_marker_rows = 2 * 3 * 2  # markers * frames * xy
+    j_mkr = j[:n_marker_rows]
+    assert mask.shape == j_mkr.shape
+    # Structural zeros are actual zeros.
+    assert np.all(np.abs(j_mkr[~mask]) == 0.0)
+    # And the mask is tight: every column marked True has real
+    # derivative mass somewhere.
+    for col in range(mask.shape[1]):
+        assert np.any(np.abs(j_mkr[:, col][mask[:, col]]) > 0.0), col
+
+
+def test_execute_drops_unused_attributes():
+    """api.execute excludes attrs that affect no collection marker
+    (the reference's used/unused split, adjust_base.cpp:574) instead of
+    solving a singular system."""
+    import jax.numpy as jnp
+
+    import mayamatchmovesolver_tpu.api as mmapi
+    from mayamatchmovesolver_tpu.scene import evaluate
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+
+    sg = SceneGraph(frame_range=(1, 4))
+    cam = sg.create_camera("cam", tz=10.0, render_width=1920,
+                           render_height=1080)
+    bnd = sg.create_bundle("bnd", tx=0.4, ty=0.2, tz=-5.0)
+    mkr = sg.create_marker("mkr", camera=cam, bundle=bnd,
+                           tx=np.zeros(4), ty=np.zeros(4))
+    # An unrelated transform: not an ancestor of anything measured.
+    floater = sg.create_transform("floater", tx=3.0)
+    scene, attrs = sg.bake()
+    fi = jnp.arange(4)
+    ev = evaluate(scene, attrs, fi)
+    attrs = set_marker_screen_positions(scene, attrs, fi, ev.point_xy)
+    # Perturb the bundle so there is something to solve.
+    static = np.array(attrs.static_values)
+    static[bnd.attr("tx").code // 2] += 0.2
+    # Write back into the scene graph so execute()'s bake sees it.
+    sg.set_value(bnd.attr("tx"), float(static[bnd.attr("tx").code // 2]))
+
+    col = mmapi.Collection(sg)
+    col.add_marker(mkr)
+    col.add_attribute(bnd.attr("tx"), bnd.attr("ty"),
+                      floater.attr("tx"))  # floater is unused
+    col.set_solver(mmapi.SolverStep(frame_indices=range(4)))
+    col.options = mmapi.SolverOptions(image_width=1920.0)
+    # Rebuild markers from the baked attrs (the scene graph holds the
+    # original marker values; rewrite them so bake() reproduces attrs).
+    anim = np.asarray(attrs.anim_values)
+    for ch in ("tx", "ty"):
+        a = mkr.attr(ch)
+        for f in range(4):
+            sg.set_value(a, float(anim[a.code // 2, f]), frame=f)
+
+    new_attrs, results = mmapi.execute(col)
+    assert results[0].success, results[0].reason_string
+    # The floater attribute was not solved (value unchanged).
+    ns = np.asarray(new_attrs.static_values)
+    assert ns[floater.attr("tx").code // 2] == 3.0
+    # The bundle was recovered.
+    np.testing.assert_allclose(
+        ns[bnd.attr("tx").code // 2], 0.4, atol=1e-4
+    )

@@ -63,3 +63,16 @@ def test_lm_is_jittable():
     )
     result = jitted(jnp.zeros(2))
     np.testing.assert_allclose(np.asarray(result.x), [3.0, -1.0], atol=1e-8)
+
+
+def test_blocked_cholesky_matches_numpy():
+    """The blocked (n > 64) path must agree with LAPACK."""
+    rng = np.random.RandomState(5)
+    n = 200
+    m = rng.randn(n, n)
+    a = m @ m.T + n * np.eye(n)
+    l = np.asarray(linalg.cholesky(jnp.asarray(a)))
+    np.testing.assert_allclose(l, np.linalg.cholesky(a), atol=1e-8)
+    x = rng.randn(n)
+    got = np.asarray(linalg.solve_spd(jnp.asarray(a), jnp.asarray(x)))
+    np.testing.assert_allclose(got, np.linalg.solve(a, x), atol=1e-8)
