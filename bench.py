@@ -284,26 +284,30 @@ def _synthetic_ba_problem(num_frames, num_bundles, seed=3, perturb=0.03):
     )
 
 
-def _ba_flops_per_iteration(num_frames, num_bundles, p_c=6):
-    """Analytic FLOPs-per-LM-iteration of the Schur BA (dominant
-    terms), for achieved-TFLOP/s accounting.
+def _ba_cg_flops_per_iteration(num_frames, num_bundles,
+                               cg_iterations, p_c=6):
+    """Analytic FLOPs-per-LM-iteration of the CG-solved Schur BA
+    (dominant terms), for achieved-TFLOP/s accounting.
 
-    Per iteration (solver/ba.py): per-observation residual+Jacobian
-    (O(M*F) small-matrix work), normal-block einsums, the S_cross
-    reduction O(M*F^2*p_c^2*3) — the dominant term — and the dense
-    Cholesky of the (F*p_c)^2 reduced system O((F*p_c)^3/3)."""
+    Per LM iteration (solver/ba.py _schur_cg_step): per-observation
+    residual+Jacobian (O(M*F) small-matrix work), normal-block einsums,
+    the per-frame exact-Schur preconditioner build, and cg_iterations
+    matvecs (each a handful of O(M*F) einsums + per-frame 6x6 block
+    solves)."""
     m = num_bundles  # one marker per bundle in the synthetic problem
     f = num_frames
-    # y_mf + s_cross einsums: 2 * (M*F*3*p_c*3) + 2 * (M*F*F*3*p_c*p_c)
-    s_cross = 2.0 * m * f * f * 3 * p_c * p_c + 2.0 * m * f * 9 * p_c
     # Per-observation jacobian blocks (residual fn ~ few hundred flops
     # x (p_c+3+1) tangents) — call it 2k flops per obs per tangent.
     jac = m * f * (p_c + 4) * 2000.0
     # Block einsums: b_blocks, a_m, w_mf, gradients.
     blocks = 2.0 * m * f * (p_c * p_c * 2 + 9 * 2 + 3 * p_c * 2)
-    chol = (f * p_c) ** 3 / 3.0 * 2.0
+    # Preconditioner build: einsum mfab,mac,mfcd->fbd.
+    precond = 2.0 * m * f * 3 * p_c * 3 * p_c
+    # One CG matvec: W x + W^T z (2 x m*f*3*p_c) + B_f x + block
+    # solves of the 6x6 preconditioner.
+    matvec = 2.0 * (2.0 * m * f * 3 * p_c + f * p_c * p_c) + f * 200.0
     back = 2.0 * m * f * 3 * p_c * 2
-    return s_cross + jac + blocks + chol + back
+    return jac + blocks + precond + cg_iterations * matvec + back
 
 
 def bench_schur_ba(budget_left):
@@ -314,11 +318,17 @@ def bench_schur_ba(budget_left):
     from mayamatchmovesolver_tpu.solver import ba
 
     num_frames, num_bundles = 200, 100
+    cg_iterations = 30
     problem = _synthetic_ba_problem(num_frames, num_bundles)
-    # eps=0 -> fixed 30-iteration envelope (throughput metric).
+    # eps=0 -> fixed 30-iteration envelope (throughput metric).  The
+    # CG linear solver is the on-chip configuration: the dense
+    # Cholesky's O(F*6) sequential columns are latency-bound on TPU
+    # (measured 0.13 TFLOP/s in the round-4 build), while every CG
+    # matvec is batched einsum work.
     solve = jax.jit(
         lambda p: ba.solve_ba(p, max_iterations=30, eps1=0.0,
-                              eps2=0.0, eps3=0.0)
+                              eps2=0.0, eps3=0.0, linear_solver="cg",
+                              cg_iterations=cg_iterations)
     )
     result = solve(problem)  # warmup/compile (remote)
     jax.block_until_ready(result.cam_params)
@@ -340,7 +350,9 @@ def bench_schur_ba(budget_left):
         with jax.default_device(cpu):
             solve_cpu = jax.jit(
                 lambda p: ba.solve_ba(p, max_iterations=3, eps1=0.0,
-                                      eps2=0.0, eps3=0.0)
+                                      eps2=0.0, eps3=0.0,
+                                      linear_solver="cg",
+                                      cg_iterations=cg_iterations)
             )
             r = solve_cpu(cpu_problem)
             jax.block_until_ready(r.cam_params)
@@ -350,7 +362,8 @@ def bench_schur_ba(budget_left):
             dt = time.perf_counter() - t0
             cpu_its = int(r.iterations) / dt
 
-    flops_it = _ba_flops_per_iteration(num_frames, num_bundles)
+    flops_it = _ba_cg_flops_per_iteration(num_frames, num_bundles,
+                                          cg_iterations)
     _emit(
         "schur_ba_lm_iterations_per_second_200f_100b",
         tpu_its, "iterations/s",
@@ -360,6 +373,7 @@ def bench_schur_ba(budget_left):
             "same Schur-BA program on host CPU backend (measured)"
             if cpu_its else "derived estimate (CPU measure skipped)"
         ),
+        linear_solver="cg",
         cost_reduction=float(result.cost_initial) / max(
             float(result.cost), 1e-30),
         flops_per_iteration=flops_it,
@@ -413,11 +427,55 @@ def bench_lens_focal_ba():
                           solve_attrs, options, lens=lens)
         total_iters += result.iterations
     elapsed = time.perf_counter() - t0
-    # Baseline: derived lmdif estimate for this config (BASELINE.md);
-    # the measured cminpack stand-in lives in the headline line.
+
+    # Measured baseline: the reference's actual algorithm on this
+    # exact problem — MINPACK lmdif (scipy least_squares 'lm',
+    # forward-difference Jacobian over the FULL dense residual: 188
+    # parameters, every scene evaluation through the lens model) on
+    # the host CPU.  The it/s cost model is 1 + n_params residual
+    # evaluations per iteration, exactly cminpack's.
+    import importlib
+
+    import jax
+    import jax.numpy as jnp
+    from scipy.optimize import least_squares
+
+    from mayamatchmovesolver_tpu.solver import problem as problem_mod
+
+    solve_mod = importlib.import_module(
+        "mayamatchmovesolver_tpu.solver.solve"
+    )
+    cpu_its = None
+    try:
+        cpu = jax.devices("cpu")[0]
+        with jax.default_device(cpu):
+            full = solve_mod.build_problem(
+                scene, attrs, np.arange(num_frames), solve_attrs,
+                options, lens=lens,
+            )
+            fn = jax.jit(problem_mod.residual_fn(full))
+            x0 = np.asarray(problem_mod.initial_parameters(full))
+            fn(jnp.asarray(x0))  # compile outside the timer
+            n_params = x0.shape[0]
+            t0 = time.perf_counter()
+            # Two lmdif iterations are enough to measure it/s (each
+            # costs 1 + n_params full-scene residual evaluations).
+            res = least_squares(
+                lambda x: np.asarray(fn(jnp.asarray(x))), x0,
+                method="lm", max_nfev=2 * (n_params + 1) + 1,
+            )
+            dt = time.perf_counter() - t0
+            cpu_its = max(1, int(res.nfev // (n_params + 1))) / dt
+    except Exception:
+        cpu_its = None
     _emit("lens_focal_ba_iterations_per_second_30f_product_path",
-          total_iters / elapsed, "iterations/s", 8.7, False,
-          baseline_kind="derived lmdif estimate (see BASELINE.md)",
+          total_iters / elapsed, "iterations/s",
+          cpu_its if cpu_its else 8.7, bool(cpu_its),
+          baseline_kind=(
+              "scipy MINPACK lmdif (fwd-diff) on the same full "
+              "residual, host CPU" if cpu_its
+              else "derived lmdif estimate (BASELINE.md)"
+          ),
           solver_type=result.solver_type_name,
           rms_px=round(float(result.error_final), 5))
 
@@ -632,7 +690,7 @@ def main():
     # equations need real f32 accumulation for the reported RMS to
     # reflect the engine's accuracy (3-pass f32 on the MXU).
     jax.config.update("jax_default_matmul_precision", "float32")
-    budget = float(os.environ.get("MMTPU_BENCH_BUDGET_S", "420"))
+    budget = float(os.environ.get("MMTPU_BENCH_BUDGET_S", "480"))
     t_start = time.time()
 
     def budget_left():
@@ -662,9 +720,9 @@ def main():
     # remaining budget (compile dominates: ~100-150 s per config on
     # the tunneled TPU, measured round 3).
     per_config_cost = float(
-        os.environ.get("MMTPU_BENCH_CONFIG_COST_S", "110")
+        os.environ.get("MMTPU_BENCH_CONFIG_COST_S", "70")
     )
-    for fn in (bench_schur_ba, bench_lens_focal_ba, bench_pallas_stmap,
+    for fn in (bench_schur_ba, bench_pallas_stmap, bench_lens_focal_ba,
                bench_sharded_scaling_subprocess, bench_triangulation):
         if budget_left() < per_config_cost:
             print(json.dumps({

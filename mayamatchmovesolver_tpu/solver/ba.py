@@ -484,6 +484,163 @@ def _schur_normal_step(problem: BAProblem, cam_params, bnd_params,
     return dx_cam, dx_bnd, dx_sh, blocks.cost, gnorm, pred
 
 
+def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
+                   shared_params, mu, cg_iterations):
+    """One damped Gauss-Newton step via Schur elimination of bundles
+    with the reduced [camera | border] system solved by preconditioned
+    conjugate gradients instead of a dense Cholesky.
+
+    Same semantics as _schur_normal_step, different linear solver: on
+    TPU the (F*6)^2 dense factorization is LATENCY-bound (O(F*6)
+    sequential tiny steps — measured 0.13 TFLOP/s at F=200), while
+    every CG matvec is a handful of large einsums (MXU work, fully
+    parallel over observations and frames).  The preconditioner is the
+    exact per-frame Schur diagonal block + the border's own reduced
+    block — the same one that keeps the distributed CG convergent
+    (parallel/ba_sharded.py)."""
+    blocks = assemble_normal_blocks(
+        problem, cam_params, bnd_params, shared_params
+    )
+    num_frames, p_c = cam_params.shape
+    num_shared = shared_params.shape[0]
+    num_bundles = bnd_params.shape[0]
+    mkr_bnd_index = problem.mkr_bnd_index
+
+    a_damped = _damp(blocks.a_blocks, mu)
+    b_damped = _damp(blocks.b_blocks, mu)
+    a_inv = tfm_math.inverse3(a_damped)
+    a_inv_m = a_inv[mkr_bnd_index]
+    w_mf = blocks.w_mf
+    hcs = blocks.hcs
+    eye_c = jnp.eye(p_c, dtype=cam_params.dtype)
+
+    g_bnd_pre = jnp.einsum(
+        "mab,mb->ma", a_inv_m, blocks.g_bnd[mkr_bnd_index]
+    )
+    rhs_c = -(blocks.g_cam - jnp.einsum(
+        "mfab,ma->fb", w_mf, g_bnd_pre
+    ))
+    if num_shared:
+        hss_damped = _damp(blocks.hss, mu)
+        y_bs = jnp.einsum("bac,bcs->bas", a_inv, blocks.hbs)
+        rhs_s = -(blocks.g_sh - jnp.einsum(
+            "bas,ba->s", y_bs, blocks.g_bnd
+        ))
+    else:
+        hss_damped = blocks.hss
+        rhs_s = jnp.zeros((0,), cam_params.dtype)
+
+    def matvec(x_c, x_s):
+        v_m = jnp.einsum("mfab,fb->ma", w_mf, x_c)
+        v_b = jax.ops.segment_sum(
+            v_m, mkr_bnd_index, num_segments=num_bundles
+        )
+        if num_shared:
+            v_b = v_b + jnp.einsum("bas,s->ba", blocks.hbs, x_s)
+        z_b = jnp.einsum("bac,bc->ba", a_inv, v_b)
+        z_m = z_b[mkr_bnd_index]
+        out_c = jnp.einsum("fab,fb->fa", b_damped, x_c)
+        out_c = out_c - jnp.einsum("mfab,ma->fb", w_mf, z_m)
+        if num_shared:
+            out_c = out_c + jnp.einsum("fas,s->fa", hcs, x_s)
+            out_s = jnp.einsum("fas,fa->s", hcs, x_c)
+            out_s = out_s + hss_damped @ x_s
+            out_s = out_s - jnp.einsum("bas,ba->s", blocks.hbs, z_b)
+        else:
+            out_s = x_s
+        return out_c, out_s
+
+    # Exact per-frame Schur diagonal preconditioner (+ border block).
+    s_diag = b_damped - jnp.einsum(
+        "mfab,mac,mfcd->fbd", w_mf, a_inv_m, w_mf
+    )
+    s_diag = s_diag + 1e-8 * jnp.maximum(
+        jnp.diagonal(s_diag, axis1=-2, axis2=-1), 1e-12
+    )[..., None] * eye_c
+    if num_shared:
+        s_ss = hss_damped - jnp.einsum("bas,bat->st", blocks.hbs, y_bs)
+        s_ss = s_ss + 1e-8 * jnp.maximum(
+            jnp.diag(s_ss), 1e-12
+        ) * jnp.eye(num_shared, dtype=cam_params.dtype)
+
+    def precond(v_c, v_s):
+        p_cc = linalg.cholesky_solve(s_diag, v_c)
+        if num_shared:
+            p_ss = linalg.cholesky_solve(s_ss, v_s)
+        else:
+            p_ss = v_s
+        return p_cc, p_ss
+
+    def pdot(a_c, a_s, b_c, b_s):
+        return jnp.sum(a_c * b_c) + jnp.sum(a_s * b_s)
+
+    x0_c = jnp.zeros_like(rhs_c)
+    x0_s = jnp.zeros_like(rhs_s)
+    z0_c, z0_s = precond(rhs_c, rhs_s)
+
+    def cg_body(_, state):
+        x_c, x_s, r_c, r_s, z_c, z_s, p_cv, p_sv = state
+        ap_c, ap_s = matvec(p_cv, p_sv)
+        rz = pdot(r_c, r_s, z_c, z_s)
+        pap = pdot(p_cv, p_sv, ap_c, ap_s)
+        ok = (pap > 0.0) & (rz > 0.0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
+        x_c = x_c + alpha * p_cv
+        x_s = x_s + alpha * p_sv
+        r_c_new = jnp.where(ok, r_c - alpha * ap_c, r_c)
+        r_s_new = jnp.where(ok, r_s - alpha * ap_s, r_s)
+        z_c_new, z_s_new = precond(r_c_new, r_s_new)
+        beta = jnp.where(
+            ok,
+            pdot(r_c_new, r_s_new, z_c_new, z_s_new)
+            / jnp.where(ok, rz, 1.0),
+            0.0,
+        )
+        return (x_c, x_s, r_c_new, r_s_new, z_c_new, z_s_new,
+                jnp.where(ok, z_c_new + beta * p_cv, p_cv),
+                jnp.where(ok, z_s_new + beta * p_sv, p_sv))
+
+    dx_cam, dx_sh, _, _, _, _, _, _ = jax.lax.fori_loop(
+        0, cg_iterations, cg_body,
+        (x0_c, x0_s, rhs_c, rhs_s, z0_c, z0_s, z0_c, z0_s),
+    )
+
+    # Bundle back-substitution.
+    w_dx = jnp.einsum("mfab,fb->ma", w_mf, dx_cam)
+    w_dx_b = jax.ops.segment_sum(
+        w_dx, mkr_bnd_index, num_segments=num_bundles
+    )
+    rhs_b = blocks.g_bnd + w_dx_b
+    if num_shared:
+        rhs_b = rhs_b + jnp.einsum("bas,s->ba", blocks.hbs, dx_sh)
+    dx_bnd = -jnp.einsum("bij,bj->bi", a_inv, rhs_b)
+
+    gnorm = jnp.maximum(
+        jnp.max(jnp.abs(blocks.g_cam)), jnp.max(jnp.abs(blocks.g_bnd))
+    )
+    if num_shared:
+        gnorm = jnp.maximum(gnorm, jnp.max(jnp.abs(blocks.g_sh)))
+    diag_b = jnp.maximum(
+        jnp.diagonal(blocks.b_blocks, axis1=-2, axis2=-1), 1e-12
+    )
+    diag_a = jnp.maximum(
+        jnp.diagonal(blocks.a_blocks, axis1=-2, axis2=-1), 1e-12
+    )
+    pred = 0.5 * (
+        mu * jnp.sum(diag_b * dx_cam * dx_cam)
+        + mu * jnp.sum(diag_a * dx_bnd * dx_bnd)
+        - jnp.sum(dx_cam * blocks.g_cam)
+        - jnp.sum(dx_bnd * blocks.g_bnd)
+    )
+    if num_shared:
+        diag_s = jnp.maximum(jnp.diag(blocks.hss), 1e-12)
+        pred = pred + 0.5 * (
+            mu * jnp.sum(diag_s * dx_sh * dx_sh)
+            - jnp.sum(dx_sh * blocks.g_sh)
+        )
+    return dx_cam, dx_bnd, dx_sh, blocks.cost, gnorm, pred
+
+
 class _BAState(NamedTuple):
     cam: jax.Array
     bnd: jax.Array
@@ -503,12 +660,24 @@ def solve_ba(
     eps1=1e-8,
     eps2=1e-8,
     eps3=1e-8,
+    linear_solver="cholesky",
+    cg_iterations=30,
 ) -> BAResult:
     """LM over the arrowhead-structured normal equations.  Jittable.
 
     Stopping mirrors solver/lm.py (and cminpack in spirit): eps1 =
     gradient inf-norm (gtol), eps2 = relative step size (xtol), eps3 =
-    relative cost reduction on an accepted step (ftol)."""
+    relative cost reduction on an accepted step (ftol).
+
+    linear_solver: 'cholesky' factors the reduced [camera | border]
+    system exactly (best convergence per iteration; its sequential
+    column dependency makes it latency-bound on TPU for large F);
+    'cg' solves it with block-preconditioned conjugate gradients —
+    every matvec is batched einsum work on the MXU, the right choice
+    for long shots on-chip (same structure the distributed path uses,
+    parallel/ba_sharded.py)."""
+    if linear_solver not in ("cholesky", "cg"):
+        raise ValueError("linear_solver must be 'cholesky' or 'cg'")
     # TPU matmuls default to bfloat16 passes; the normal equations'
     # einsum reductions and the Schur elimination need true f32
     # accumulation or the arrowhead system turns singular on-chip
@@ -516,11 +685,13 @@ def solve_ba(
     # identical f32 program converges on CPU).
     with jax.default_matmul_precision("float32"):
         return _solve_ba_impl(
-            problem, max_iterations, tau, eps1, eps2, eps3
+            problem, max_iterations, tau, eps1, eps2, eps3,
+            linear_solver, cg_iterations,
         )
 
 
-def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3):
+def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3,
+                   linear_solver="cholesky", cg_iterations=30):
     cost0 = ba_cost(
         problem, problem.cam_params, problem.bnd_params,
         problem.shared_params,
@@ -542,9 +713,15 @@ def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3):
         return (s.stop == 0) & (s.it < max_iterations)
 
     def body(s):
-        dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = _schur_normal_step(
-            problem, s.cam, s.bnd, s.sh, s.mu
-        )
+        if linear_solver == "cg":
+            dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = _schur_cg_step(
+                problem, s.cam, s.bnd, s.sh, s.mu, cg_iterations
+            )
+        else:
+            (dx_cam, dx_bnd, dx_sh, cost, gnorm,
+             pred) = _schur_normal_step(
+                problem, s.cam, s.bnd, s.sh, s.mu
+            )
         ok = (
             jnp.all(jnp.isfinite(dx_cam))
             & jnp.all(jnp.isfinite(dx_bnd))

@@ -99,6 +99,13 @@ class SolverOptions:
     # larger process variance lets the prediction drift faster.
     kalman_measurement_variance: float = 1.0
     kalman_process_variance: float = 1.0
+    # Linear solver for the structured BA backends: None = auto
+    # (exact Cholesky for short shots, block-preconditioned CG once
+    # the reduced camera system is large enough that the
+    # factorization's sequential columns dominate on TPU),
+    # or explicitly 'cholesky' / 'cg'.
+    ba_linear_solver: Optional[str] = None
+    ba_cg_iterations: int = 30
 
 
 def _lm_config(options: SolverOptions):
@@ -347,11 +354,20 @@ def _ba_solve_jit(problem, config_static_tuple):
     """One fully-fused Schur-BA solve."""
     from mayamatchmovesolver_tpu.solver import ba as ba_lib
 
-    (max_it, tau, eps1, eps2, eps3) = config_static_tuple
+    (max_it, tau, eps1, eps2, eps3, linear_solver,
+     cg_iterations) = config_static_tuple
     return ba_lib.solve_ba(
         problem, max_iterations=max_it, tau=tau,
         eps1=eps1, eps2=eps2, eps3=eps3,
+        linear_solver=linear_solver, cg_iterations=cg_iterations,
     )
+
+
+# Reduced-system size above which the BA bridge auto-selects the CG
+# linear solver: the dense factorization's O(F*6) sequential columns
+# are latency-bound on TPU (measured round 4: 52 it/s Cholesky vs
+# 319 it/s CG at F=200, i.e. F*6=1200).
+_BA_AUTO_CG_THRESHOLD = 512
 
 
 @jax.jit
@@ -366,9 +382,16 @@ def _solve_problem_ba(problem, bridge, options, solver_type):
     (lm_result, attrs_out, aux0, aux1)."""
     from mayamatchmovesolver_tpu.solver import ba as ba_lib
 
+    linear_solver = options.ba_linear_solver
+    if linear_solver is None:
+        n_reduced = bridge.problem.cam_params.shape[0] * 6
+        linear_solver = (
+            "cg" if n_reduced >= _BA_AUTO_CG_THRESHOLD else "cholesky"
+        )
     cfg = (
         int(options.iterations), float(options.tau),
         float(options.eps1), float(options.eps2), float(options.eps3),
+        str(linear_solver), int(options.ba_cg_iterations),
     )
     if solver_type == registry_mod.SOLVER_TYPE_BA_SHARDED:
         from jax.sharding import Mesh

@@ -265,3 +265,22 @@ def test_bridge_sharded_backend_runs():
     assert res.solver_type_name == "ba_schur_sharded", res.reason_string
     assert res.success
     assert res.error_final < 1e-3, res.error_final
+
+
+def test_bridge_cg_linear_solver_option():
+    """options.ba_linear_solver='cg' routes the bridged solve through
+    the CG reduced-system solver and still converges."""
+    sg, cam, bundles, scene, attrs0, _ = _tracked_scene()
+    attrs = _perturb(attrs0, cam, bundles, np.random.RandomState(6),
+                     pose=0.02, bnd=0.02)
+    solve_attrs = _pose_and_bundle_attrs(cam, bundles)
+    opts = SolverOptions(
+        iterations=25, image_width=1920.0,
+        solver_type=registry.SOLVER_TYPE_BA_SCHUR,
+        ba_linear_solver="cg", ba_cg_iterations=50,
+    )
+    _, res = solve(scene, attrs, np.arange(NUM_FRAMES), solve_attrs,
+                   opts)
+    assert res.solver_type_name == "ba_schur", res.reason_string
+    assert res.success
+    assert res.error_final < 1e-3, res.error_final

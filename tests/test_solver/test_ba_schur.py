@@ -206,3 +206,29 @@ def test_ba_early_stop_on_converged_problem():
     )(problem)
     assert int(result.stop_reason) in (1, 2, 3), int(result.stop_reason)
     assert int(result.iterations) < 15, int(result.iterations)
+
+
+def test_ba_cg_linear_solver_matches_cholesky():
+    """The CG linear solver (the TPU-fast path for long shots) reaches
+    the same solution as the exact Cholesky factorization, including
+    the arrowhead border."""
+    problem, cam_true, bnd_true = _synthetic_ba(
+        num_frames=8, num_bundles=10, perturb=0.02, solve_focal=True,
+        focal_length_mm=36.0,
+    )
+    res_chol = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=30)
+    )(problem)
+    res_cg = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=30,
+                              linear_solver="cg", cg_iterations=50)
+    )(problem)
+    assert float(res_cg.cost) < 1e-8 * float(res_cg.cost_initial)
+    np.testing.assert_allclose(
+        float(res_cg.shared_params[0]),
+        float(res_chol.shared_params[0]), atol=0.05,
+    )
+    # Reprojections agree (gauge-free comparison).
+    r_cg = ba.ba_residuals(problem, res_cg.cam_params,
+                           res_cg.bnd_params, res_cg.shared_params)
+    assert float(jnp.max(jnp.abs(r_cg))) < 1e-3
