@@ -74,6 +74,7 @@ def shard_ba_problem(problem: ba_mod.BAProblem, mesh: Mesh,
         marker_uv=jax.device_put(problem.marker_uv, f_shard),
         weight=jax.device_put(problem.weight, f_shard),
         mkr_bnd_index=jax.device_put(problem.mkr_bnd_index, rep),
+        mkr_cam_block=jax.device_put(problem.mkr_cam_block, rep),
         cam_params=jax.device_put(problem.cam_params, cam_shard),
         bnd_params=jax.device_put(problem.bnd_params, rep),
         shared_params=jax.device_put(problem.shared_params, rep),
@@ -102,6 +103,12 @@ def sharded_solve_ba(
     problem arrays may be host-global; they are sharded on entry.
     Returns globally-assembled results.
     """
+    if problem.num_cameras > 1:
+        raise ValueError(
+            "the frame-sharded BA supports one camera per problem; "
+            "solve multi-camera rigs with ba.solve_ba(linear_solver="
+            "'cg') on one chip, or split per camera"
+        )
     num_frames = problem.cam_params.shape[0]
     n_dev = mesh.devices.size
     if num_frames % n_dev != 0:
@@ -112,8 +119,8 @@ def sharded_solve_ba(
     num_bundles = problem.bnd_params.shape[0]
     num_shared = int(problem.shared_params.shape[0])
 
-    def lm_loop(marker_uv, weight, mkr_bnd_index, cam_params,
-                bnd_params, shared_params, intrinsics):
+    def lm_loop(marker_uv, weight, mkr_bnd_index, mkr_cam_block,
+                cam_params, bnd_params, shared_params, intrinsics):
         """Runs per-shard; explicit collectives."""
 
         def local_problem(cam, bnd):
@@ -122,6 +129,7 @@ def sharded_solve_ba(
                 marker_uv=marker_uv,
                 weight=weight,
                 mkr_bnd_index=mkr_bnd_index,
+                mkr_cam_block=mkr_cam_block,
                 cam_params=cam,
                 bnd_params=bnd,
                 intrinsics=intrinsics,
@@ -388,6 +396,7 @@ def sharded_solve_ba(
             P(None, axis_name),  # marker_uv
             P(None, axis_name),  # weight
             P(),                 # mkr_bnd_index
+            P(),                 # mkr_cam_block
             P(axis_name, None),  # cam_params
             P(),                 # bnd_params
             P(),                 # shared_params
@@ -409,6 +418,7 @@ def sharded_solve_ba(
             problem.marker_uv,
             problem.weight,
             problem.mkr_bnd_index,
+            problem.mkr_cam_block,
             problem.cam_params,
             problem.bnd_params,
             problem.shared_params,

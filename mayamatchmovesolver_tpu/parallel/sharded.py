@@ -115,7 +115,11 @@ def sharded_normal_system(problem, mesh, axis_name="frames"):
         out_specs=(P(), P(), P()),
     )
 
+    @jax.jit
     def wrapped(params):
+        # jit is load-bearing: an EAGER shard_map dispatches every
+        # primitive separately across the mesh (measured ~2 min per
+        # evaluation on an 8-virtual-device CPU mesh vs <1 s compiled).
         return fn(
             problem.attrs.static_values,
             problem.attrs.anim_values,

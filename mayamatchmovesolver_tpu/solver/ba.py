@@ -12,8 +12,9 @@ explicit block structure of the normal equations).
 Problem shape (the classic BA arrowhead; the reference documents the
 static-attribute coupling as its central scaling hazard,
 ref: docs/source/solver_design.rst:188-218):
-  * camera parameters: (F, 6) — per-frame 6-DoF pose, independent
-    across frames;
+  * camera parameters: (C*F, 6) — per-(camera, frame) 6-DoF pose
+    blocks, independent across frames (C=1 is the common case;
+    multi-camera rigs put every camera's frame blocks side by side);
   * bundle parameters: (B, 3) — world positions, independent across
     bundles;
   * shared (border) parameters: (S,) — static attributes coupling ALL
@@ -73,7 +74,12 @@ class BAProblem:
     marker_uv: jax.Array  # (M, F, 2) observed, film-fit-scaled space
     weight: jax.Array  # (M, F) sqrt-applied marker weights * mask
     mkr_bnd_index: jax.Array  # (M,) bundle index per marker
-    cam_params: jax.Array  # (F, 6) initial camera pose params
+    # Camera-block offset per marker: cam_index * F.  Zeros for the
+    # single-camera case; multi-camera rigs (stereo / witness cams,
+    # C cameras) lay cam_params out camera-major as (C*F, 6) and each
+    # marker indexes its own camera's frame blocks.
+    mkr_cam_block: jax.Array  # (M,) int32
+    cam_params: jax.Array  # (C*F, 6) initial camera pose params
     bnd_params: jax.Array  # (B, 3) initial bundle positions
     shared_params: jax.Array  # (S,) border params: [focal?] + lens
     intrinsics: jax.Array  # (F, 8) [focal, fbw_mm, fbh_mm, offx_mm,
@@ -95,6 +101,10 @@ class BAProblem:
 
     def _replace(self, **kwargs):
         return dataclasses.replace(self, **kwargs)
+
+    @property
+    def num_cameras(self):
+        return self.cam_params.shape[0] // self.marker_uv.shape[1]
 
     @property
     def num_shared(self):
@@ -216,6 +226,24 @@ def _observation_residual(cam_vec, bnd_vec, shared_vec, intr, weight,
     return loss_mod.apply_loss_to_residuals(r, loss_type, loss_scale)
 
 
+def _gather_cam(x, cam_block, num_frames):
+    """Per-marker view of camera-major block arrays: (C*F, ...) ->
+    (M, F, ...) selecting each marker's camera's frame blocks."""
+    frame_ids = jnp.arange(num_frames)
+    return x[cam_block[:, None] + frame_ids[None, :]]
+
+
+def _scatter_frames(contrib_mf, cam_block, num_cam_blocks):
+    """Scatter-add (M, F, ...) per-observation contributions into the
+    camera-major block axis (C*F, ...)."""
+    m, f = contrib_mf.shape[:2]
+    seg = (cam_block[:, None] + jnp.arange(f)[None, :]).reshape(-1)
+    return jax.ops.segment_sum(
+        contrib_mf.reshape((m * f,) + contrib_mf.shape[2:]),
+        seg, num_segments=num_cam_blocks,
+    )
+
+
 def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
                          shared_params):
     """All residuals + per-observation Jacobian blocks, batched.
@@ -232,7 +260,9 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
 
     jac = jax.jacfwd(obs, argnums=(0, 1, 2))
 
-    def per_marker(bnd_vec, uv_row, w_row):
+    num_frames = problem.marker_uv.shape[1]
+
+    def per_marker(bnd_vec, uv_row, w_row, cam_rows, intr_rows):
         def frame_fn(cam_vec, intr, w, uv):
             return (
                 obs(cam_vec, bnd_vec, shared_params, intr, w, uv),
@@ -240,12 +270,17 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
             )
 
         r, (jc, jb, js) = jax.vmap(frame_fn)(
-            cam_params, problem.intrinsics, w_row, uv_row
+            cam_rows, intr_rows, w_row, uv_row
         )
         return r, jc, jb, js
 
+    cam_rows = _gather_cam(cam_params, problem.mkr_cam_block,
+                           num_frames)
+    intr_rows = _gather_cam(problem.intrinsics, problem.mkr_cam_block,
+                            num_frames)
     r, j_cam, j_bnd, j_sh = jax.vmap(per_marker)(
-        bnd_per_marker, problem.marker_uv, problem.weight
+        bnd_per_marker, problem.marker_uv, problem.weight,
+        cam_rows, intr_rows,
     )
     # r: (M, F, 2); j_cam: (M, F, 2, 6); j_bnd: (M, F, 2, 3);
     # j_sh: (M, F, 2, S).
@@ -268,12 +303,18 @@ def ba_residuals(problem: BAProblem, cam_params, bnd_params,
             problem.lens_params, problem.lens_pixel_aspect, static, uv,
         )
 
+    num_frames = problem.marker_uv.shape[1]
+    cam_rows = _gather_cam(cam_params, problem.mkr_cam_block,
+                           num_frames)
+    intr_rows = _gather_cam(problem.intrinsics, problem.mkr_cam_block,
+                            num_frames)
     return jax.vmap(
-        lambda bnd_vec, uv_row, w_row: jax.vmap(
+        lambda bnd_vec, uv_row, w_row, cams, intrs: jax.vmap(
             lambda cam_vec, intr, w, uv: obs(cam_vec, bnd_vec, intr, w,
                                              uv)
-        )(cam_params, problem.intrinsics, w_row, uv_row)
-    )(bnd_per_marker, problem.marker_uv, problem.weight)
+        )(cams, intrs, w_row, uv_row)
+    )(bnd_per_marker, problem.marker_uv, problem.weight,
+      cam_rows, intr_rows)
 
 
 def ba_cost(problem: BAProblem, cam_params, bnd_params, shared_params):
@@ -322,10 +363,26 @@ def assemble_normal_blocks(problem: BAProblem, cam_params, bnd_params,
         problem, cam_params, bnd_params, shared_params
     )
     num_bundles = bnd_params.shape[0]
+    num_cam_blocks = cam_params.shape[0]
+    single_cam = num_cam_blocks == problem.marker_uv.shape[1]
     cost = 0.5 * jnp.sum(r * r)
 
-    b_blocks = jnp.einsum("mfra,mfrb->fab", j_cam, j_cam)
-    g_cam = jnp.einsum("mfra,mfr->fa", j_cam, r)
+    if single_cam:
+        # Every marker shares the frame axis' camera blocks: plain
+        # einsum reductions over markers (MXU-friendly fast path).
+        b_blocks = jnp.einsum("mfra,mfrb->fab", j_cam, j_cam)
+        g_cam = jnp.einsum("mfra,mfr->fa", j_cam, r)
+    else:
+        # Multi-camera rig: scatter each observation into its
+        # camera's (cam*F + f) block.
+        b_blocks = _scatter_frames(
+            jnp.einsum("mfra,mfrb->mfab", j_cam, j_cam),
+            problem.mkr_cam_block, num_cam_blocks,
+        )
+        g_cam = _scatter_frames(
+            jnp.einsum("mfra,mfr->mfa", j_cam, r),
+            problem.mkr_cam_block, num_cam_blocks,
+        )
 
     a_m = jnp.einsum("mfra,mfrb->mab", j_bnd, j_bnd)  # (M, 3, 3)
     a_blocks = jax.ops.segment_sum(
@@ -340,7 +397,13 @@ def assemble_normal_blocks(problem: BAProblem, cam_params, bnd_params,
     w_mf = jnp.einsum("mfra,mfrb->mfab", j_bnd, j_cam)
 
     # Border couplings.
-    hcs = jnp.einsum("mfra,mfrs->fas", j_cam, j_sh)  # (F, 6, S)
+    if single_cam:
+        hcs = jnp.einsum("mfra,mfrs->fas", j_cam, j_sh)  # (CF, 6, S)
+    else:
+        hcs = _scatter_frames(
+            jnp.einsum("mfra,mfrs->mfas", j_cam, j_sh),
+            problem.mkr_cam_block, num_cam_blocks,
+        )
     hbs_m = jnp.einsum("mfra,mfrs->mas", j_bnd, j_sh)  # (M, 3, S)
     hbs = jax.ops.segment_sum(
         hbs_m, problem.mkr_bnd_index, num_segments=num_bundles
@@ -430,6 +493,11 @@ def _schur_normal_step(problem: BAProblem, cam_params, bnd_params,
     Returns (dx_cam, dx_bnd, dx_shared, cost, gnorm, predicted) where
     predicted is the LM model's predicted cost reduction
     0.5*(dx^T(mu*D)dx - dx^T g) for the gain ratio."""
+    if problem.num_cameras > 1:
+        raise ValueError(
+            "the dense Cholesky Schur step supports one camera; "
+            "multi-camera rigs solve with linear_solver='cg'"
+        )
     blocks = assemble_normal_blocks(
         problem, cam_params, bnd_params, shared_params
     )
@@ -501,10 +569,13 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
     blocks = assemble_normal_blocks(
         problem, cam_params, bnd_params, shared_params
     )
-    num_frames, p_c = cam_params.shape
+    num_cam_blocks, p_c = cam_params.shape
+    num_frames = problem.marker_uv.shape[1]
+    single_cam = num_cam_blocks == num_frames
     num_shared = shared_params.shape[0]
     num_bundles = bnd_params.shape[0]
     mkr_bnd_index = problem.mkr_bnd_index
+    cam_block = problem.mkr_cam_block
 
     a_damped = _damp(blocks.a_blocks, mu)
     b_damped = _damp(blocks.b_blocks, mu)
@@ -514,12 +585,26 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
     hcs = blocks.hcs
     eye_c = jnp.eye(p_c, dtype=cam_params.dtype)
 
+    def wt_scatter(z_m):
+        """sum_m W_mf^T z_m scattered into the camera blocks."""
+        if single_cam:
+            return jnp.einsum("mfab,ma->fb", w_mf, z_m)
+        return _scatter_frames(
+            jnp.einsum("mfab,ma->mfb", w_mf, z_m), cam_block,
+            num_cam_blocks,
+        )
+
+    def w_apply(x_c):
+        """sum_f W_mf x_{block(m, f)} per marker."""
+        if single_cam:
+            return jnp.einsum("mfab,fb->ma", w_mf, x_c)
+        x_rows = _gather_cam(x_c, cam_block, num_frames)  # (M, F, 6)
+        return jnp.einsum("mfab,mfb->ma", w_mf, x_rows)
+
     g_bnd_pre = jnp.einsum(
         "mab,mb->ma", a_inv_m, blocks.g_bnd[mkr_bnd_index]
     )
-    rhs_c = -(blocks.g_cam - jnp.einsum(
-        "mfab,ma->fb", w_mf, g_bnd_pre
-    ))
+    rhs_c = -(blocks.g_cam - wt_scatter(g_bnd_pre))
     if num_shared:
         hss_damped = _damp(blocks.hss, mu)
         y_bs = jnp.einsum("bac,bcs->bas", a_inv, blocks.hbs)
@@ -531,7 +616,7 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
         rhs_s = jnp.zeros((0,), cam_params.dtype)
 
     def matvec(x_c, x_s):
-        v_m = jnp.einsum("mfab,fb->ma", w_mf, x_c)
+        v_m = w_apply(x_c)
         v_b = jax.ops.segment_sum(
             v_m, mkr_bnd_index, num_segments=num_bundles
         )
@@ -540,7 +625,7 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
         z_b = jnp.einsum("bac,bc->ba", a_inv, v_b)
         z_m = z_b[mkr_bnd_index]
         out_c = jnp.einsum("fab,fb->fa", b_damped, x_c)
-        out_c = out_c - jnp.einsum("mfab,ma->fb", w_mf, z_m)
+        out_c = out_c - wt_scatter(z_m)
         if num_shared:
             out_c = out_c + jnp.einsum("fas,s->fa", hcs, x_s)
             out_s = jnp.einsum("fas,fa->s", hcs, x_c)
@@ -551,9 +636,14 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
         return out_c, out_s
 
     # Exact per-frame Schur diagonal preconditioner (+ border block).
-    s_diag = b_damped - jnp.einsum(
-        "mfab,mac,mfcd->fbd", w_mf, a_inv_m, w_mf
-    )
+    if single_cam:
+        s_corr = jnp.einsum("mfab,mac,mfcd->fbd", w_mf, a_inv_m, w_mf)
+    else:
+        s_corr = _scatter_frames(
+            jnp.einsum("mfab,mac,mfcd->mfbd", w_mf, a_inv_m, w_mf),
+            cam_block, num_cam_blocks,
+        )
+    s_diag = b_damped - s_corr
     s_diag = s_diag + 1e-8 * jnp.maximum(
         jnp.diagonal(s_diag, axis1=-2, axis2=-1), 1e-12
     )[..., None] * eye_c
@@ -606,7 +696,7 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
     )
 
     # Bundle back-substitution.
-    w_dx = jnp.einsum("mfab,fb->ma", w_mf, dx_cam)
+    w_dx = w_apply(dx_cam)
     w_dx_b = jax.ops.segment_sum(
         w_dx, mkr_bnd_index, num_segments=num_bundles
     )
@@ -678,6 +768,10 @@ def solve_ba(
     parallel/ba_sharded.py)."""
     if linear_solver not in ("cholesky", "cg"):
         raise ValueError("linear_solver must be 'cholesky' or 'cg'")
+    if problem.num_cameras > 1 and linear_solver != "cg":
+        raise ValueError(
+            "multi-camera BAProblem requires linear_solver='cg'"
+        )
     # TPU matmuls default to bfloat16 passes; the normal equations'
     # einsum reductions and the Schur elimination need true f32
     # accumulation or the arrowhead system turns singular on-chip
@@ -801,6 +895,7 @@ def make_ba_problem(
     mkr_bnd_index,
     cam_params,
     bnd_params,
+    mkr_cam_index=None,
     focal_length_mm=35.0,
     film_back_width_mm=36.0,
     film_back_height_mm=24.0,
@@ -835,7 +930,23 @@ def make_ba_problem(
     """
     marker_uv = jnp.asarray(marker_uv)
     num_frames = marker_uv.shape[1]
+    num_markers = marker_uv.shape[0]
     dtype = marker_uv.dtype
+    import numpy as _np
+
+    cam_params = jnp.asarray(cam_params, dtype)
+    num_cameras = cam_params.shape[0] // num_frames
+    if cam_params.shape[0] % num_frames != 0:
+        raise ValueError(
+            "cam_params rows (%d) must be num_cameras * num_frames "
+            "(F=%d)" % (cam_params.shape[0], num_frames)
+        )
+    if mkr_cam_index is None:
+        mkr_cam_block = _np.zeros(num_markers, _np.int32)
+    else:
+        mkr_cam_block = (
+            _np.asarray(mkr_cam_index, _np.int32) * num_frames
+        )
     if intrinsics is None:
         intr_row = jnp.asarray(
             [
@@ -850,9 +961,15 @@ def make_ba_problem(
             ],
             dtype,
         )
-        intrinsics = jnp.broadcast_to(intr_row, (num_frames, 8))
+        intrinsics = jnp.broadcast_to(
+            intr_row, (num_cameras * num_frames, 8)
+        )
     else:
         intrinsics = jnp.asarray(intrinsics, dtype)
+        if intrinsics.shape[0] != num_cameras * num_frames:
+            raise ValueError(
+                "intrinsics rows must match cam_params rows"
+            )
 
     if lens_model_type:
         from mayamatchmovesolver_tpu.models import scenelens
@@ -898,7 +1015,8 @@ def make_ba_problem(
         marker_uv=marker_uv,
         weight=jnp.sqrt(jnp.maximum(jnp.asarray(weight, dtype), 0.0)),
         mkr_bnd_index=jnp.asarray(mkr_bnd_index, jnp.int32),
-        cam_params=jnp.asarray(cam_params, dtype),
+        mkr_cam_block=jnp.asarray(mkr_cam_block, jnp.int32),
+        cam_params=cam_params,
         bnd_params=jnp.asarray(bnd_params, dtype),
         shared_params=jnp.asarray(shared, dtype),
         intrinsics=intrinsics,

@@ -41,7 +41,7 @@ class BABridge:
 
     problem: ba_mod.BAProblem
     frame_indices: np.ndarray  # (F,)
-    pose_codes: np.ndarray  # (6,) animated camera channel codes
+    pose_codes: np.ndarray  # (C, 6) animated camera channel codes
     bnd_codes: np.ndarray  # (B, 3) static bundle channel codes
     focal_code: Optional[int]  # static focal code when solve_focal
     lens_codes: List[int]  # solved lens param codes, border order
@@ -55,9 +55,12 @@ class BABridge:
 
         anim = np.array(attrs.anim_values)
         static = np.array(attrs.static_values)
-        cam = np.asarray(result.cam_params)
-        for i, code in enumerate(self.pose_codes):
-            anim[code // 2, self.frame_indices] = cam[:, i]
+        num_frames = len(self.frame_indices)
+        cam_all = np.asarray(result.cam_params)
+        for ci in range(self.pose_codes.shape[0]):
+            cam = cam_all[ci * num_frames: (ci + 1) * num_frames]
+            for i, code in enumerate(self.pose_codes[ci]):
+                anim[code // 2, self.frame_indices] = cam[:, i]
         bnd = np.asarray(result.bnd_params)
         static[self.bnd_codes // 2] = bnd
         shared = np.asarray(result.shared_params)
@@ -98,10 +101,14 @@ def build_ba_bridge(
     BA shape, else (None, reason).
 
     The accepted shape (the reference's standard matchmove solve):
-      * exactly one camera, a root transform, unit scale;
-      * solve attrs = the camera's six animated pose channels, every
-        bundle's three static translate channels, optionally the
-        static focal length and static lens coefficients (layer 0);
+      * root-transform cameras with unit scale — ONE camera, or a
+        multi-camera rig (stereo / witness cams) with uniform film
+        fit / rotate order / render size (camera blocks lay out
+        camera-major; multi-camera solves run the CG linear solver);
+      * solve attrs = every camera's six animated pose channels, every
+        bundle's three static translate channels, optionally (single
+        camera only) the static focal length and static lens
+        coefficients (layer 0);
       * no box constraints / offsets (BA has no reparameterization);
       * no stiffness/smoothness or line constraints.
     """
@@ -111,40 +118,54 @@ def build_ba_bridge(
         np.asarray(lines.get("mkr_index", ())).size
     ):
         return None, "line constraints"
-    if scene.num_cameras != 1:
-        return None, "multi-camera scene"
-
-    cam_tfm = int(scene.cam_tfm_index[0])
+    num_cameras = int(scene.num_cameras)
+    cam_tfms = np.asarray(scene.cam_tfm_index)
     tfm_parent = np.asarray(scene.tfm_parent)
-    if tfm_parent[cam_tfm] != -1:
+    if np.any(tfm_parent[cam_tfms] != -1):
         return None, "camera is not a root transform"
     bnd_tfms = np.asarray(scene.bnd_tfm_index)
     if np.any(tfm_parent[bnd_tfms] != -1):
         return None, "parented bundles"
+    film_fits = np.asarray(scene.cam_film_fit)
+    rot_orders = np.asarray(scene.tfm_rotate_order)[cam_tfms]
+    if num_cameras > 1:
+        # Multi-camera rigs (stereo / witness cams): camera blocks are
+        # laid out camera-major; the static film-fit/rotate-order pair
+        # must be uniform (they select the compiled program).
+        if not (np.all(film_fits == film_fits[0])
+                and np.all(rot_orders == rot_orders[0])):
+            return None, "cameras differ in film fit / rotate order"
+        sizes = np.asarray(scene.cam_render_size)
+        if not np.allclose(sizes, sizes[0]):
+            return None, "cameras differ in render size"
 
     frame_indices = np.asarray(frame_indices, dtype=np.int32)
+    num_frames = len(frame_indices)
     tfm_codes = np.asarray(scene.tfm_attr_codes)
-    cam_pose_codes = tfm_codes[cam_tfm, :6]
-    cam_attr_codes = np.asarray(scene.cam_attr_codes[0])
-    focal_code = int(cam_attr_codes[2])
+    pose_code_table = tfm_codes[cam_tfms][:, :6]  # (C, 6)
+    cam_attr_code_table = np.asarray(scene.cam_attr_codes)  # (C, 8)
+    focal_codes = cam_attr_code_table[:, 2]
     bnd_code_table = tfm_codes[bnd_tfms][:, :3]  # (B, 3)
 
-    # Camera scale must be identity: the BA residual models the camera
-    # as a pure rigid transform.
-    sc = gather_attr_values(
-        attrs, scene.tfm_attr_codes[cam_tfm, 6:9], frame_indices
-    )
-    sc = np.asarray(sc)
-    sc_codes = tfm_codes[cam_tfm, 6:9]
-    sc = np.where((sc_codes < 0)[:, None], 1.0, sc)
-    if not np.allclose(sc, 1.0):
-        return None, "camera has non-unit scale"
+    # Camera scale must be identity: the BA residual models cameras as
+    # pure rigid transforms.
+    for ci in range(num_cameras):
+        sc_codes = tfm_codes[cam_tfms[ci], 6:9]
+        sc = np.asarray(gather_attr_values(
+            attrs, scene.tfm_attr_codes[cam_tfms[ci], 6:9],
+            frame_indices,
+        ))
+        sc = np.where((sc_codes < 0)[:, None], 1.0, sc)
+        if not np.allclose(sc, 1.0):
+            return None, "camera has non-unit scale"
 
-    # Lens layout (single layer, layer-0 prefix "lens_").
+    # Lens layout (single camera, single layer, layer-0 prefix).
     lens_model_type = ""
     lens_param_codes = None
     lens_pa_code = None
     if lens is not None and lens.has_any():
+        if num_cameras > 1:
+            return None, "lens distortion on a multi-camera rig"
         stacks = lens.model_types
         if len(stacks) != 1 or len(stacks[0]) != 1:
             return None, "multi-layer or multi-camera lens stack"
@@ -161,7 +182,7 @@ def build_ba_bridge(
             return None, "animated lens pixel aspect"
 
     # Classify every solve attribute.
-    pose_solved = {}
+    pose_solved = {}  # (cam_index, channel) -> code
     bnd_solved = {}  # bnd_index -> set(channel)
     solve_focal = False
     lens_solved_positions = []  # positions into the lens field order
@@ -169,15 +190,20 @@ def build_ba_bridge(
         if _attr_has_bounds(attr):
             return None, "box constraints on %r" % attr.name
         code = int(attr.code)
-        pose_pos = np.nonzero(cam_pose_codes == code)[0]
-        if pose_pos.size:
+        pose_pos = np.nonzero(pose_code_table == code)
+        if pose_pos[0].size:
             if code % 2 != 1:
                 return None, "static camera pose attr %s" % attr.name
-            pose_solved[int(pose_pos[0])] = code
+            pose_solved[(int(pose_pos[0][0]), int(pose_pos[1][0]))] = \
+                code
             continue
-        if code == focal_code:
+        focal_pos = np.nonzero(focal_codes == code)[0]
+        if focal_pos.size:
             if code % 2 != 0:
                 return None, "animated focal length"
+            if num_cameras > 1:
+                # One border focal cannot represent per-camera focals.
+                return None, "focal solving on a multi-camera rig"
             solve_focal = True
             continue
         bnd_pos = np.nonzero(bnd_code_table == code)
@@ -197,9 +223,9 @@ def build_ba_bridge(
             getattr(attr.node, "name", "?"), attr.name
         )
 
-    if len(pose_solved) != 6:
-        return None, "camera pose not fully solved (%d/6 channels)" % (
-            len(pose_solved)
+    if len(pose_solved) != 6 * num_cameras:
+        return None, "camera pose not fully solved (%d/%d channels)" % (
+            len(pose_solved), 6 * num_cameras
         )
     num_bundles = bnd_code_table.shape[0]
     if len(bnd_solved) != num_bundles or any(
@@ -232,29 +258,34 @@ def build_ba_bridge(
             return anim[code // 2, frames]
         return np.full(len(frames), static[code // 2])
 
-    cam_params = np.stack(
-        [anim[c // 2, frame_indices] for c in cam_pose_codes], axis=-1
-    )  # (F, 6)
-    bnd_params = static[bnd_code_table // 2]  # (B, 3)
-
-    cv = np.stack(
-        [cell(c, frame_indices) for c in cam_attr_codes], axis=0
-    )  # (8, F) in CAM_ATTRS order
+    # Camera-major pose + intrinsics blocks: (C*F, 6) / (C*F, 8).
     render_w, render_h = np.asarray(scene.cam_render_size[0])
-    cam_scale = np.where(cam_attr_codes[7] < 0, 1.0, cv[7])
-    intrinsics = np.stack(
-        [
-            cv[2],  # focal_length_mm
-            cv[0],  # sensor_width_mm
-            cv[1],  # sensor_height_mm
-            cv[3],  # lens_offset_x_mm
-            cv[4],  # lens_offset_y_mm
-            cv[6],  # far_clip_cm
-            np.broadcast_to(cam_scale, cv[0].shape),
-            np.full(len(frame_indices), render_w / render_h),
-        ],
-        axis=-1,
-    )  # (F, 8)
+    cam_blocks = []
+    intr_blocks = []
+    for ci in range(num_cameras):
+        cam_blocks.append(np.stack(
+            [anim[c // 2, frame_indices]
+             for c in pose_code_table[ci]], axis=-1,
+        ))
+        cac = cam_attr_code_table[ci]
+        cv = np.stack([cell(c, frame_indices) for c in cac], axis=0)
+        cam_scale = np.where(cac[7] < 0, 1.0, cv[7])
+        intr_blocks.append(np.stack(
+            [
+                cv[2],  # focal_length_mm
+                cv[0],  # sensor_width_mm
+                cv[1],  # sensor_height_mm
+                cv[3],  # lens_offset_x_mm
+                cv[4],  # lens_offset_y_mm
+                cv[6],  # far_clip_cm
+                np.broadcast_to(cam_scale, cv[0].shape),
+                np.full(num_frames, render_w / render_h),
+            ],
+            axis=-1,
+        ))
+    cam_params = np.concatenate(cam_blocks, axis=0)  # (C*F, 6)
+    intrinsics = np.concatenate(intr_blocks, axis=0)  # (C*F, 8)
+    bnd_params = static[bnd_code_table // 2]  # (B, 3)
 
     lens_values = None
     lens_solve_names = None
@@ -287,9 +318,10 @@ def build_ba_bridge(
         mkr_bnd_index=np.asarray(scene.mkr_bnd_index),
         cam_params=cam_params.astype(dtype),
         bnd_params=bnd_params.astype(dtype),
-        focal_length_mm=float(cv[2][0]),
-        film_fit=int(scene.cam_film_fit[0]),
-        rotate_order=int(scene.tfm_rotate_order[cam_tfm]),
+        mkr_cam_index=np.asarray(scene.mkr_cam_index),
+        focal_length_mm=float(intrinsics[0, 0]),
+        film_fit=int(film_fits[0]),
+        rotate_order=int(rot_orders[0]),
         render_width=float(render_w),
         render_height=float(render_h),
         image_width=float(options.image_width),
@@ -305,9 +337,11 @@ def build_ba_bridge(
     bridge = BABridge(
         problem=problem,
         frame_indices=frame_indices,
-        pose_codes=cam_pose_codes.astype(np.int64),
+        pose_codes=pose_code_table.astype(np.int64),
         bnd_codes=bnd_code_table.astype(np.int64),
-        focal_code=focal_code if solve_focal else None,
+        focal_code=(
+            int(focal_codes[0]) if solve_focal else None
+        ),
         lens_codes=lens_codes_border,
     )
     return bridge, ""

@@ -383,11 +383,15 @@ def _solve_problem_ba(problem, bridge, options, solver_type):
     from mayamatchmovesolver_tpu.solver import ba as ba_lib
 
     linear_solver = options.ba_linear_solver
+    multi_cam = bridge.problem.num_cameras > 1
     if linear_solver is None:
         n_reduced = bridge.problem.cam_params.shape[0] * 6
         linear_solver = (
-            "cg" if n_reduced >= _BA_AUTO_CG_THRESHOLD else "cholesky"
+            "cg" if (multi_cam or n_reduced >= _BA_AUTO_CG_THRESHOLD)
+            else "cholesky"
         )
+    elif multi_cam:
+        linear_solver = "cg"  # the dense step is single-camera only
     cfg = (
         int(options.iterations), float(options.tau),
         float(options.eps1), float(options.eps2), float(options.eps3),
@@ -401,7 +405,7 @@ def _solve_problem_ba(problem, bridge, options, solver_type):
         devices = jax.devices()
         n_dev = len(devices)
         num_frames = bridge.problem.cam_params.shape[0]
-        if n_dev > 1 and num_frames % n_dev == 0:
+        if n_dev > 1 and num_frames % n_dev == 0 and not multi_cam:
             mesh = Mesh(np.asarray(devices), ("frames",))
             sharded = ba_sharded.shard_ba_problem(bridge.problem, mesh)
             s_res = ba_sharded.sharded_solve_ba(

@@ -80,13 +80,25 @@ def _umeyama_similarity(src, dst):
     return scale, r, t
 
 
-def test_camera_solve_recovers_trajectory_and_points():
+import pytest
+
+
+@pytest.fixture(scope="module")
+def _solved():
+    """One camera_solve shared by the module's tests (the pipeline
+    compiles a dozen XLA programs; set_origin_frame only needs *a*
+    result, not its own shapes)."""
     marker_xy, enable, cam_positions, pts_true = _synthesize()
     result = camerasolve.camera_solve(
         marker_xy, enable, focal_length_mm=35.0,
         film_back_width_mm=36.0, film_back_height_mm=24.0,
         min_pair_separation=6,
     )
+    return result, cam_positions, pts_true
+
+
+def test_camera_solve_recovers_trajectory_and_points(_solved):
+    result, cam_positions, pts_true = _solved
     assert result.frame_solved.all()
     assert result.point_valid.sum() >= 25
 
@@ -105,12 +117,8 @@ def test_camera_solve_recovers_trajectory_and_points():
     assert np.median(err_cam) < 0.05, np.median(err_cam)
 
 
-def test_set_origin_frame():
-    marker_xy, enable, _, _ = _synthesize(num_frames=10)
-    result = camerasolve.camera_solve(
-        marker_xy, enable, focal_length_mm=35.0,
-        film_back_width_mm=36.0, min_pair_separation=5,
-    )
+def test_set_origin_frame(_solved):
+    result, _, _ = _solved
     normalized = camerasolve.set_origin_frame(result, origin_frame=0)
     np.testing.assert_allclose(
         normalized.positions[0], np.zeros(3), atol=1e-9

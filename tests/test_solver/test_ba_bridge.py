@@ -284,3 +284,84 @@ def test_bridge_cg_linear_solver_option():
     assert res.solver_type_name == "ba_schur", res.reason_string
     assert res.success
     assert res.error_final < 1e-3, res.error_final
+
+
+def test_bridge_multicamera_rig():
+    """A two-camera rig (stereo/witness) through the product path: the
+    bridge lays camera blocks out camera-major, forces the CG linear
+    solver, and agrees with the dense backend."""
+    rng = np.random.RandomState(8)
+    sg = mmapi.SceneGraph(frame_range=(1, NUM_FRAMES))
+    cams = []
+    for ci, off in enumerate((0.0, 1.2)):
+        cams.append(sg.create_camera(
+            "cam%d" % ci,
+            tx=np.linspace(-2, 2, NUM_FRAMES) + off,
+            ty=np.full(NUM_FRAMES, 1.0),
+            tz=10.0 + np.linspace(0, 1, NUM_FRAMES),
+            rx=np.zeros(NUM_FRAMES),
+            ry=np.linspace(-5, 5, NUM_FRAMES) - 3.0 * ci,
+            rz=np.zeros(NUM_FRAMES),
+            focal_length_mm=35.0,
+            render_width=1920, render_height=1080,
+        ))
+    bundles = [
+        sg.create_bundle(
+            "b%d" % i, tx=rng.uniform(-3, 3),
+            ty=rng.uniform(-2, 2), tz=rng.uniform(-7, -3),
+        )
+        for i in range(NUM_BUNDLES)
+    ]
+    for i, b in enumerate(bundles):
+        for ci, cam in enumerate(cams):
+            sg.create_marker(
+                "m%d_c%d" % (i, ci), camera=cam, bundle=b,
+                tx=np.zeros(NUM_FRAMES), ty=np.zeros(NUM_FRAMES),
+            )
+    scene, attrs = sg.bake()
+    fi = jnp.arange(NUM_FRAMES)
+    ev = evaluate(scene, attrs, fi)
+    attrs = set_marker_screen_positions(scene, attrs, fi, ev.point_xy)
+
+    anim = np.array(attrs.anim_values)
+    static = np.array(attrs.static_values)
+    for cam in cams:
+        for ch in ("tx", "ty", "tz", "rx", "ry", "rz"):
+            anim[cam.attr(ch).code // 2] += rng.normal(
+                0, 0.02, NUM_FRAMES
+            )
+    for b in bundles:
+        for ch in ("tx", "ty", "tz"):
+            static[b.attr(ch).code // 2] += rng.normal(0, 0.02)
+    attrs = attrs._replace(anim_values=jnp.asarray(anim),
+                           static_values=jnp.asarray(static))
+
+    solve_attrs = []
+    for cam in cams:
+        solve_attrs += [cam.attr(c) for c in
+                        ("tx", "ty", "tz", "rx", "ry", "rz")]
+    for b in bundles:
+        solve_attrs += [b.attr(c) for c in ("tx", "ty", "tz")]
+
+    opts = SolverOptions(
+        iterations=30, image_width=1920.0,
+        solver_type=registry.SOLVER_TYPE_BA_SCHUR,
+        ba_cg_iterations=60,
+    )
+    attrs_ba, res_ba = solve(scene, attrs, np.arange(NUM_FRAMES),
+                             solve_attrs, opts)
+    assert res_ba.solver_type_name == "ba_schur", res_ba.reason_string
+    assert res_ba.success
+    assert res_ba.error_final < 1e-3, res_ba.error_final
+
+    # Dense-backend agreement (gauge-free: compare reprojections).
+    opts_d = SolverOptions(iterations=30, image_width=1920.0)
+    attrs_d, res_d = solve(scene, attrs, np.arange(NUM_FRAMES),
+                           solve_attrs, opts_d)
+    assert res_d.error_final < 1e-3
+    ev_ba = evaluate(scene, attrs_ba, fi)
+    ev_d = evaluate(scene, attrs_d, fi)
+    np.testing.assert_allclose(
+        np.asarray(ev_ba.point_xy), np.asarray(ev_d.point_xy),
+        atol=1e-4,
+    )

@@ -232,3 +232,80 @@ def test_ba_cg_linear_solver_matches_cholesky():
     r_cg = ba.ba_residuals(problem, res_cg.cam_params,
                            res_cg.bnd_params, res_cg.shared_params)
     assert float(jnp.max(jnp.abs(r_cg))) < 1e-3
+
+
+def test_multicamera_cg_step_matches_dense_oracle():
+    """Two-camera rig: the camera-major block assembly + CG step must
+    solve the same damped normal equations as the flattened jacfwd
+    oracle (exercised to CG convergence)."""
+    rng = np.random.RandomState(4)
+    num_frames, num_bundles = 4, 6
+    cam_true = np.zeros((2 * num_frames, 6))
+    # Camera 0 path, then camera 1 (offset stereo rig).
+    cam_true[:num_frames, 0] = np.linspace(-1, 1, num_frames)
+    cam_true[:num_frames, 2] = 9.0
+    cam_true[num_frames:, 0] = np.linspace(-1, 1, num_frames) + 1.5
+    cam_true[num_frames:, 2] = 9.5
+    cam_true[num_frames:, 4] = -4.0
+    bnd_true = np.stack(
+        [
+            rng.uniform(-3, 3, num_bundles),
+            rng.uniform(-2, 2, num_bundles),
+            rng.uniform(-7, -3, num_bundles),
+        ],
+        axis=-1,
+    )
+    # Two markers per bundle: one per camera.
+    mkr_bnd = np.concatenate([np.arange(num_bundles)] * 2)
+    mkr_cam = np.concatenate(
+        [np.zeros(num_bundles, int), np.ones(num_bundles, int)]
+    )
+    problem0 = ba.make_ba_problem(
+        marker_uv=np.zeros((2 * num_bundles, num_frames, 2)),
+        weight=np.ones((2 * num_bundles, num_frames)),
+        mkr_bnd_index=mkr_bnd,
+        cam_params=cam_true,
+        bnd_params=bnd_true,
+        mkr_cam_index=mkr_cam,
+    )
+    assert problem0.num_cameras == 2
+    r = ba.ba_residuals(
+        problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true)
+    )
+    uv_true = -np.asarray(r) / problem0.image_width
+    problem = problem0._replace(
+        marker_uv=jnp.asarray(uv_true),
+        cam_params=jnp.asarray(
+            cam_true + rng.normal(0, 0.03, cam_true.shape)
+        ),
+        bnd_params=jnp.asarray(
+            bnd_true + rng.normal(0, 0.03, bnd_true.shape)
+        ),
+    )
+
+    mu = 1e-3
+    dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = ba._schur_cg_step(
+        problem, problem.cam_params, problem.bnd_params,
+        problem.shared_params, mu, cg_iterations=200,
+    )
+    dx_dense, f, pc, b, s = _dense_step_oracle(problem, mu)
+    np.testing.assert_allclose(
+        np.asarray(dx_cam).reshape(-1), dx_dense[: f * pc], atol=1e-6
+    )
+    np.testing.assert_allclose(
+        np.asarray(dx_bnd).reshape(-1),
+        dx_dense[f * pc: f * pc + b * 3], atol=1e-6,
+    )
+
+    # And the full LM converges to zero cost on the noiseless rig.
+    result = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=30,
+                              linear_solver="cg", cg_iterations=60)
+    )(problem)
+    assert float(result.cost) < 1e-8 * float(result.cost_initial)
+
+    # The dense step rejects multi-camera problems explicitly.
+    import pytest
+
+    with pytest.raises(ValueError, match="multi-camera"):
+        ba.solve_ba(problem, linear_solver="cholesky")
