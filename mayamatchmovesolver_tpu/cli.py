@@ -762,6 +762,44 @@ def _cmd_image_convert(args):
     return 0
 
 
+def _cmd_image_warp(args):
+    """Warp pixels through a lens model or an ST-map file (the
+    consumer half of the lensdistort verb's maps; ref: the reference
+    generates ST maps for compositor STMap nodes,
+    tools/lensdistortion)."""
+    import numpy as np
+
+    from mayamatchmovesolver_tpu.io import image as image_mod
+    from mayamatchmovesolver_tpu.ops import warp as warp_mod
+
+    img, _ = image_mod.read_image(args.input)
+    if args.stmap:
+        st, _ = image_mod.read_image(args.stmap)
+        out = np.asarray(warp_mod.warp_image(img, st))
+    else:
+        from mayamatchmovesolver_tpu import models
+
+        fb = models.FilmBack.create(
+            width_cm=args.film_back_width / 10.0,
+            height_cm=args.film_back_height / 10.0,
+        )
+        model = models.TdeClassic.create(
+            distortion=args.distortion,
+            anamorphic_squeeze=args.anamorphic_squeeze,
+            curvature_x=args.curvature_x,
+            curvature_y=args.curvature_y,
+            quartic_distortion=args.quartic_distortion,
+        )
+        out = np.asarray(warp_mod.warp_image_with_lens(
+            img, model, fb, direction=args.direction,
+        ))
+    image_mod.write_image(args.output, out)
+    print("wrote %s (%dx%d warped)" % (
+        args.output, out.shape[1], out.shape[0]
+    ))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="mmsolver-tpu",
@@ -935,6 +973,23 @@ def main(argv=None):
     p.add_argument("output")
     p.add_argument("--scale", type=float, default=1.0)
 
+    p = sub.add_parser("image-warp",
+                       help="warp an image through a lens or ST map")
+    p.add_argument("input")
+    p.add_argument("--output", required=True)
+    p.add_argument("--stmap", default=None,
+                   help="ST-map image (e.g. from the lensdistort "
+                        "verb); omit to warp through a lens model")
+    p.add_argument("--direction", choices=["distort", "undistort"],
+                   default="distort")
+    p.add_argument("--distortion", type=float, default=0.0)
+    p.add_argument("--anamorphic-squeeze", type=float, default=1.0)
+    p.add_argument("--curvature-x", type=float, default=0.0)
+    p.add_argument("--curvature-y", type=float, default=0.0)
+    p.add_argument("--quartic-distortion", type=float, default=0.0)
+    p.add_argument("--film-back-width", type=float, default=36.0)
+    p.add_argument("--film-back-height", type=float, default=24.0)
+
     args = parser.parse_args(argv)
     if args.command == "formats":
         return _cmd_formats(args)
@@ -954,6 +1009,8 @@ def main(argv=None):
         return _cmd_reproject(args)
     if args.command == "image-info":
         return _cmd_image_info(args)
+    if args.command == "image-warp":
+        return _cmd_image_warp(args)
     if args.command == "image-convert":
         return _cmd_image_convert(args)
     if args.command == "solver-types":

@@ -320,3 +320,30 @@ def test_camera_matrix_verb(tmp_path):
     np.testing.assert_allclose(clip[:2] / clip[3], [0.0, 0.0],
                                atol=1e-9)
 
+
+
+def test_image_warp_verb(tmp_path):
+    """lensdistort -> image-warp --stmap equals image-warp through the
+    model directly (the ST-map producer/consumer pair)."""
+    from mayamatchmovesolver_tpu.io import exr
+
+    src = os.path.join(tmp_path, "src.exr")
+    st = os.path.join(tmp_path, "st.exr")
+    out_a = os.path.join(tmp_path, "a.exr")
+    out_b = os.path.join(tmp_path, "b.exr")
+    rng = np.random.RandomState(0)
+    img = rng.rand(36, 48, 3).astype(np.float32)
+    exr.write_pixels(src, img)
+    assert cli.main([
+        "lensdistort", "--model", "tde_classic", "--distortion", "0.1",
+        "--width", "48", "--height", "36", "--output", st,
+    ]) == 0
+    assert cli.main([
+        "image-warp", src, "--stmap", st, "--output", out_a,
+    ]) == 0
+    assert cli.main([
+        "image-warp", src, "--distortion", "0.1", "--output", out_b,
+    ]) == 0
+    a, _ = exr.read_pixels(out_a)
+    b, _ = exr.read_pixels(out_b)
+    np.testing.assert_allclose(a[..., :3], b[..., :3], atol=1e-5)
