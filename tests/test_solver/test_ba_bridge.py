@@ -144,7 +144,7 @@ def test_bridge_shared_focal_matches_dense():
     frames = np.arange(NUM_FRAMES)
 
     opts_ba = SolverOptions(
-        iterations=40, image_width=1920.0,
+        iterations=30, image_width=1920.0,
         solver_type=registry.SOLVER_TYPE_BA_SCHUR,
     )
     attrs_ba, res_ba = solve(scene, attrs, frames, solve_attrs, opts_ba)
@@ -176,7 +176,7 @@ def test_bridge_lens_distortion_matches_dense():
     frames = np.arange(NUM_FRAMES)
 
     opts_ba = SolverOptions(
-        iterations=40, image_width=1920.0,
+        iterations=30, image_width=1920.0,
         solver_type=registry.SOLVER_TYPE_BA_SCHUR,
     )
     attrs_ba, res_ba = solve(
@@ -257,7 +257,7 @@ def test_bridge_sharded_backend_runs():
                      pose=0.02, bnd=0.02)
     solve_attrs = _pose_and_bundle_attrs(cam, bundles)
     opts = SolverOptions(
-        iterations=25, image_width=1920.0,
+        iterations=30, image_width=1920.0,
         solver_type=registry.SOLVER_TYPE_BA_SHARDED,
     )
     _, res = solve(scene, attrs, np.arange(NUM_FRAMES), solve_attrs,
@@ -275,9 +275,9 @@ def test_bridge_cg_linear_solver_option():
                      pose=0.02, bnd=0.02)
     solve_attrs = _pose_and_bundle_attrs(cam, bundles)
     opts = SolverOptions(
-        iterations=25, image_width=1920.0,
+        iterations=30, image_width=1920.0,
         solver_type=registry.SOLVER_TYPE_BA_SCHUR,
-        ba_linear_solver="cg", ba_cg_iterations=50,
+        ba_linear_solver="cg", ba_cg_iterations=60,
     )
     _, res = solve(scene, attrs, np.arange(NUM_FRAMES), solve_attrs,
                    opts)

@@ -166,7 +166,7 @@ def test_ba_with_shared_focal_solve():
         shared_params=jnp.asarray([38.0]),
     )
     result = jax.jit(
-        lambda p: ba.solve_ba(p, max_iterations=40)
+        lambda p: ba.solve_ba(p, max_iterations=30)
     )(problem7)
     assert result.shared_params.shape == (1,)
     np.testing.assert_allclose(
@@ -187,7 +187,7 @@ def test_ba_with_lens_in_residual():
     # shared value); start the solve off-truth.
     problem = problem._replace(shared_params=jnp.asarray([0.04]))
     result = jax.jit(
-        lambda p: ba.solve_ba(p, max_iterations=40)
+        lambda p: ba.solve_ba(p, max_iterations=30)
     )(problem)
     assert float(result.cost) < 1e-8 * float(result.cost_initial)
     np.testing.assert_allclose(
