@@ -268,6 +268,19 @@ def execute(collection: Collection, options: Optional[SolverOptions] = None,
                                     "requires_attributes", True):
         from mayamatchmovesolver_tpu.solver import affects as affects_mod
 
+        # Locked attributes never enter the solve (ref: the compile
+        # layer skips locked attrs, _api/attribute.py is_locked +
+        # compile.py attribute filtering).
+        solve_attributes = [
+            a for a in solve_attributes
+            if not getattr(a, "locked", False)
+        ]
+        if not solve_attributes:
+            result = results_mod.SolverResult()
+            result.success = False
+            result.reason_string = "all attributes are locked"
+            collection.last_results = [result]
+            return None, [result]
         _, _, used_attrs, unused_attrs = (
             affects_mod.split_used_markers_and_attributes(
                 collection.markers, solve_attributes

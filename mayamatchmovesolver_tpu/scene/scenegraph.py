@@ -35,6 +35,22 @@ class Attribute:
         self.max_value = np.inf
         self.offset_value = 0.0
         self.scale_value = 1.0
+        # Locked attributes are excluded from solves (ref: the
+        # reference's Attr/Attribute locked state,
+        # python/mmSolver/_api/attribute.py:237 is_locked — the
+        # compile layer drops locked attrs before solving).
+        self.locked = False
+
+    def lock(self):
+        self.locked = True
+        return self
+
+    def unlock(self):
+        self.locked = False
+        return self
+
+    def is_locked(self):
+        return bool(self.locked)
 
     def set_min_max(self, min_value=None, max_value=None):
         if min_value is not None:

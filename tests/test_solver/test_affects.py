@@ -201,3 +201,55 @@ def test_execute_drops_unused_attributes():
     np.testing.assert_allclose(
         ns[bnd.attr("tx").code // 2], 0.4, atol=1e-4
     )
+
+
+def test_execute_skips_locked_attributes():
+    """Locked attributes are excluded from the solve (ref: the
+    reference's Attribute.is_locked + compile-layer filtering,
+    _api/attribute.py:237)."""
+    import jax.numpy as jnp
+
+    import mayamatchmovesolver_tpu.api as mmapi
+    from mayamatchmovesolver_tpu.scene import evaluate
+    from mayamatchmovesolver_tpu.scene.flatscene import (
+        set_marker_screen_positions,
+    )
+
+    sg = SceneGraph(frame_range=(1, 4))
+    cam = sg.create_camera("cam", tz=10.0, render_width=1920,
+                           render_height=1080)
+    bnd = sg.create_bundle("bnd", tx=0.4, ty=0.2, tz=-5.0)
+    mkr = sg.create_marker("mkr", camera=cam, bundle=bnd,
+                           tx=np.zeros(4), ty=np.zeros(4))
+    scene, attrs = sg.bake()
+    fi = jnp.arange(4)
+    ev = evaluate(scene, attrs, fi)
+    attrs = set_marker_screen_positions(scene, attrs, fi, ev.point_xy)
+    anim = np.asarray(attrs.anim_values)
+    for ch in ("tx", "ty"):
+        a = mkr.attr(ch)
+        for f in range(4):
+            sg.set_value(a, float(anim[a.code // 2, f]), frame=f)
+    # Perturb BOTH bundle channels; lock ty.
+    sg.set_value(bnd.attr("tx"), 0.6)
+    sg.set_value(bnd.attr("ty"), 0.5)
+    bnd.attr("ty").lock()
+
+    col = mmapi.Collection(sg)
+    col.add_marker(mkr)
+    col.add_attribute(bnd.attr("tx"), bnd.attr("ty"))
+    col.set_solver(mmapi.SolverStep(frame_indices=range(4)))
+    col.options = mmapi.SolverOptions(image_width=1920.0,
+                                      accept_only_better=False)
+    new_attrs, results = mmapi.execute(col)
+    assert results[0].success, results[0].reason_string
+    ns = np.asarray(new_attrs.static_values)
+    # tx solved toward truth; ty held at its (locked) perturbed value.
+    assert abs(ns[bnd.attr("tx").code // 2] - 0.4) < 0.1
+    assert ns[bnd.attr("ty").code // 2] == 0.5
+
+    # All-locked collections fail cleanly.
+    bnd.attr("tx").lock()
+    _, results = mmapi.execute(col)
+    assert not results[0].success
+    assert "locked" in results[0].reason_string
