@@ -27,6 +27,8 @@ Module map (reference tool package -> module here):
   subdivideline                 -> tools.subdivideline
   copypastemarker               -> tools.copypastemarker
   surfacecluster, createrivet (utils/rivet) -> tools.surfacecluster
+  linkmarkerbundle, togglebundlelock, togglemarkerlock,
+  cameraaim                     -> tools.markertools
 """
 
 from mayamatchmovesolver_tpu.tools import (  # noqa: F401

@@ -140,3 +140,103 @@ def reproject_bundle(scene, attrs, frame_indices, marker_index,
         ev, ev.marker_xy[marker_index], depth, cam_index=cam_index
     )
     return np.asarray(new_world[frame_for_depth])
+
+
+def link_marker_bundle(marker, bundle):
+    """Re-link a marker to a different bundle before bake (ref: the
+    link-marker-bundle tool, python/mmSolver/tools/linkmarkerbundle/
+    lib.py:29 — connects marker.bundle message plugs)."""
+    if bundle.bnd_index is None:
+        raise ValueError("link target must be a BundleNode")
+    marker.bundle = bundle
+    return marker
+
+
+def unlink_marker_bundle(marker, scene_graph, name=None):
+    """Detach a marker onto its own fresh bundle (the unlink half of
+    the reference tool): creates a new bundle at the old bundle's
+    position and links the marker to it."""
+    old = marker.bundle
+    pos = {
+        ch: float(scene_graph.get_value(old.attr(ch)))
+        for ch in ("tx", "ty", "tz")
+    }
+    bnd = scene_graph.create_bundle(
+        name or ("%s_bnd" % marker.name), **pos
+    )
+    marker.bundle = bnd
+    return bnd
+
+
+def _toggle_lock(attrs):
+    """Lock all when any is unlocked, else unlock all (the reference's
+    toggle semantics; ref: tools/togglebundlelock/lib.py,
+    togglemarkerlock/lib.py)."""
+    any_unlocked = any(not a.locked for a in attrs)
+    for a in attrs:
+        a.locked = any_unlocked
+    return any_unlocked
+
+
+def toggle_bundle_lock(bundles):
+    """Toggle the translate locks of bundles (ref:
+    python/mmSolver/tools/togglebundlelock/lib.py).  Returns the new
+    locked state."""
+    attrs = [b.attr(ch) for b in bundles for ch in ("tx", "ty", "tz")]
+    return _toggle_lock(attrs)
+
+
+def toggle_marker_lock(markers):
+    """Toggle marker tx/ty locks (ref:
+    python/mmSolver/tools/togglemarkerlock/lib.py)."""
+    attrs = [m.attr(ch) for m in markers for ch in ("tx", "ty")]
+    return _toggle_lock(attrs)
+
+
+def aim_at_target(scene_graph, transforms, target_position,
+                  up=(0.0, 1.0, 0.0)):
+    """Rotate transforms so their -Z axis (the camera viewing axis)
+    points at the target, keeping `up` as close to +Y as possible —
+    the aim-constraint capability of the camera-aim tool (ref:
+    python/mmSolver/tools/cameraaim/lib.py:29 aim_at_target; the
+    reference uses a temporary Maya aimConstraint).  Writes rx/ry/rz
+    (XYZ order, degrees) on each transform; returns the euler
+    angles."""
+    import numpy as np
+
+    target = np.asarray(target_position, float)
+    up = np.asarray(up, float)
+    out = []
+    for tfm in transforms:
+        pos = np.array([
+            float(scene_graph.get_value(tfm.attr(ch)))
+            for ch in ("tx", "ty", "tz")
+        ])
+        fwd = target - pos  # camera looks down -Z: z axis = -fwd
+        n = np.linalg.norm(fwd)
+        if n < 1e-12:
+            out.append((0.0, 0.0, 0.0))
+            continue
+        z = -fwd / n
+        x = np.cross(up, z)
+        xn = np.linalg.norm(x)
+        if xn < 1e-9:  # looking straight up/down: pick arbitrary x
+            x = np.array([1.0, 0.0, 0.0])
+        else:
+            x = x / xn
+        y = np.cross(z, x)
+        r = np.stack([x, y, z], axis=-1)  # columns = local axes
+        # Decompose with the engine's own euler convention (XYZ order)
+        # so trs_matrix reproduces this frame exactly.
+        import jax.numpy as jnp
+
+        from mayamatchmovesolver_tpu.core import transform as tfm_math
+
+        eul = np.asarray(tfm_math.matrix_to_euler(
+            jnp.asarray(r)[None], jnp.zeros(1, jnp.int32)
+        ))[0]
+        angles = tuple(float(v) for v in eul)  # already degrees
+        for ch, v in zip(("rx", "ry", "rz"), angles):
+            scene_graph.set_value(tfm.attr(ch), float(v))
+        out.append(angles)
+    return out

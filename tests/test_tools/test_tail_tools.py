@@ -274,3 +274,66 @@ def test_surface_cluster_deform_follows_surface():
     np.testing.assert_allclose(
         out_anim[1, 2] - out_anim[0, 2], [0, 0, 1.0], atol=1e-9
     )
+
+
+# ---- link/unlink, lock toggles, camera aim ------------------------------
+
+
+def test_link_and_unlink_marker_bundle():
+    from mayamatchmovesolver_tpu.tools import markertools
+
+    sg, cam, markers, line, _ = _scene_with_line()
+    other = sg.create_bundle("other", tx=2.0, tz=-6.0)
+    markertools.link_marker_bundle(markers[0], other)
+    assert markers[0].bundle is other
+    scene, attrs = sg.bake()
+    assert int(scene.mkr_bnd_index[0]) == other.bnd_index
+
+    fresh = markertools.unlink_marker_bundle(markers[1], sg)
+    assert markers[1].bundle is fresh
+    # New bundle starts at the old bundle's position.
+    assert float(sg.get_value(fresh.attr("tx"))) == 0.0
+
+
+def test_toggle_locks():
+    from mayamatchmovesolver_tpu.tools import markertools
+
+    sg, cam, markers, line, _ = _scene_with_line()
+    bundles = [m.bundle for m in markers]
+    assert markertools.toggle_bundle_lock(bundles) is True
+    assert all(b.attr("tx").is_locked() for b in bundles)
+    assert markertools.toggle_bundle_lock(bundles) is False
+    assert not any(b.attr("tz").is_locked() for b in bundles)
+    # Mixed state locks everything first.
+    bundles[0].attr("tx").lock()
+    assert markertools.toggle_bundle_lock(bundles) is True
+    assert markertools.toggle_marker_lock(markers) is True
+    assert markers[0].attr("tx").is_locked()
+
+
+def test_aim_at_target_points_camera():
+    """After aiming, the transform's -Z axis (through the engine's own
+    rotation convention) points at the target."""
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.core import transform as tfm
+    from mayamatchmovesolver_tpu.tools import markertools
+
+    sg, cam, markers, line, _ = _scene_with_line()
+    tgt = np.array([3.0, 1.0, -4.0])
+    (angles,) = markertools.aim_at_target(sg, [cam], tgt)
+    r = np.asarray(tfm.euler_to_rotation_matrix(
+        jnp.asarray(angles[0]),
+        jnp.asarray(angles[1]),
+        jnp.asarray(angles[2]),
+        jnp.asarray(0, jnp.int32),  # XYZ (degrees)
+    ))
+    fwd = -r[:, 2]  # camera looks down local -Z
+    pos = np.array([
+        float(sg.get_value(cam.attr(ch))) for ch in ("tx", "ty", "tz")
+    ])
+    want = tgt - pos
+    want = want / np.linalg.norm(want)
+    np.testing.assert_allclose(fwd, want, atol=1e-9)
+    # Up vector stays world-up-ish (no roll).
+    assert r[1, 1] > 0.5
