@@ -24,3 +24,12 @@ from mayamatchmovesolver_tpu.solver.solve import (  # noqa: F401
     solve,
     solve_per_frame,
 )
+from mayamatchmovesolver_tpu.solver import ba  # noqa: F401  (module)
+from mayamatchmovesolver_tpu.solver import ba_bridge  # noqa: F401
+from mayamatchmovesolver_tpu.solver import registry  # noqa: F401
+from mayamatchmovesolver_tpu.solver.ba import (  # noqa: F401
+    BAProblem,
+    BAResult,
+    make_ba_problem,
+    solve_ba,
+)
