@@ -804,14 +804,25 @@ def solve_ba(
         )
 
 
-def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3,
-                   linear_solver="cholesky", cg_iterations=30):
+# Public alias: the resumable-solve state passed between ba_init /
+# ba_run_block dispatches (the BA counterpart of lm.py's LMState).
+BAState = _BAState
+
+
+def ba_init(problem: BAProblem, tau=1e-3) -> _BAState:
+    """Initial BA state (cost at the starting parameters).  Jittable.
+
+    The block-resumable primitive trio ba_init / ba_run_block /
+    ba_finalize mirrors lm.py's lm_init / lm_run_block / lm_finalize —
+    the host regains control between iteration blocks for progress
+    reporting / cooperative interruption on long BA solves (ref:
+    MComputation::isInterruptRequested polled in the reference's
+    residual callback, adjust_solveFunc.cpp:567-571)."""
     cost0 = ba_cost(
         problem, problem.cam_params, problem.bnd_params,
         problem.shared_params,
     )
-
-    init = _BAState(
+    return _BAState(
         cam=problem.cam_params,
         bnd=problem.bnd_params,
         sh=problem.shared_params,
@@ -823,8 +834,60 @@ def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3,
         gnorm=jnp.asarray(jnp.inf, problem.cam_params.dtype),
     )
 
+
+def ba_run_block(problem, state, limit, max_iterations=20,
+                 eps1=1e-8, eps2=1e-8, eps3=1e-8,
+                 linear_solver="cholesky", cg_iterations=30):
+    """Run LM iterations until convergence or `limit` TOTAL
+    iterations (a dynamic scalar — one compiled program serves every
+    block).  Resumable: feed the returned state back with a larger
+    limit.  Jittable."""
+    with jax.default_matmul_precision("float32"):
+        limit = jnp.minimum(
+            jnp.asarray(limit, jnp.int32), max_iterations
+        )
+        body = _make_ba_body(problem, eps1, eps2, eps3, linear_solver,
+                             cg_iterations)
+
+        def cond(s):
+            return (s.stop == 0) & (s.it < limit)
+
+        return jax.lax.while_loop(cond, body, state)
+
+
+def ba_finalize(state: _BAState, cost_initial) -> BAResult:
+    """Wrap a (possibly interrupted) state as a BAResult."""
+    stop = jnp.where(state.stop == 0, 4, state.stop)
+    return BAResult(
+        cam_params=state.cam,
+        bnd_params=state.bnd,
+        shared_params=state.sh,
+        cost=state.cost,
+        cost_initial=cost_initial,
+        iterations=state.it,
+        stop_reason=stop,
+        gradient_norm=state.gnorm,
+    )
+
+
+def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3,
+                   linear_solver="cholesky", cg_iterations=30):
+    init = ba_init(problem, tau)
+    cost0 = init.cost
+
     def cond(s):
         return (s.stop == 0) & (s.it < max_iterations)
+
+    body = _make_ba_body(problem, eps1, eps2, eps3, linear_solver,
+                         cg_iterations)
+    final = jax.lax.while_loop(cond, body, init)
+    return ba_finalize(final, cost0)
+
+
+def _make_ba_body(problem, eps1, eps2, eps3, linear_solver,
+                  cg_iterations):
+    """One gain-ratio LM iteration (the while_loop body), shared by
+    the fused and the block-resumable drivers."""
 
     def body(s):
         if linear_solver == "cg":
@@ -895,18 +958,7 @@ def _solve_ba_impl(problem, max_iterations, tau, eps1, eps2, eps3,
             nu=nu_new, it=s.it + 1, stop=stop, gnorm=gnorm,
         )
 
-    final = jax.lax.while_loop(cond, body, init)
-    stop = jnp.where(final.stop == 0, 4, final.stop)
-    return BAResult(
-        cam_params=final.cam,
-        bnd_params=final.bnd,
-        shared_params=final.sh,
-        cost=final.cost,
-        cost_initial=cost0,
-        iterations=final.it,
-        stop_reason=stop,
-        gradient_norm=final.gnorm,
-    )
+    return body
 
 
 def make_ba_problem(

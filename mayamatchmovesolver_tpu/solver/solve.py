@@ -370,16 +370,76 @@ def _ba_solve_jit(problem, config_static_tuple):
 _BA_AUTO_CG_THRESHOLD = 512
 
 
+@functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
+def _ba_init_jit(problem, config_static_tuple):
+    from mayamatchmovesolver_tpu.solver import ba as ba_lib
+
+    (_, tau, _, _, _, _, _) = config_static_tuple
+    return ba_lib.ba_init(problem, tau)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+@_f32_matmul
+def _ba_block_jit(problem, config_static_tuple, state, limit):
+    from mayamatchmovesolver_tpu.solver import ba as ba_lib
+
+    (max_it, _, eps1, eps2, eps3, linear_solver,
+     cg_iterations) = config_static_tuple
+    return ba_lib.ba_run_block(
+        problem, state, limit, max_iterations=max_it,
+        eps1=eps1, eps2=eps2, eps3=eps3,
+        linear_solver=linear_solver, cg_iterations=cg_iterations,
+    )
+
+
+def _solve_ba_chunked(bridge, options, cfg):
+    """Block-resumable BA driver: `callback_interval` iterations per
+    dispatch, host control between blocks (progress callback, user
+    interruption, wall-clock budget) — the BA counterpart of
+    _solve_problem_chunked.  Returns (BAResult, interrupted)."""
+    from mayamatchmovesolver_tpu.solver import ba as ba_lib
+
+    max_it = int(cfg[0])
+    block = max(1, int(options.callback_interval))
+    state = _ba_init_jit(bridge.problem, cfg)
+    cost0 = state.cost
+    t_start = time.perf_counter()
+    interrupted = False
+    it_done = 0
+    while it_done < max_it and int(state.stop) == 0:
+        limit = jnp.asarray(min(it_done + block, max_it), jnp.int32)
+        state = _ba_block_jit(bridge.problem, cfg, state, limit)
+        jax.block_until_ready(state.cam)
+        it_done = int(state.it)
+        if options.iteration_callback is not None:
+            options.iteration_callback(it_done, float(state.cost))
+        if int(state.stop) != 0:
+            break  # converged: report the real reason, not a budget hit
+        if (options.interrupt_check is not None
+                and options.interrupt_check()):
+            interrupted = True
+            break
+        if (options.max_seconds is not None
+                and time.perf_counter() - t_start > options.max_seconds):
+            interrupted = True
+            break
+    return ba_lib.ba_finalize(state, cost0), interrupted
+
+
 @jax.jit
 @_f32_matmul
 def _measure_jit(problem, attrs):
     return problem_mod.measure_residuals(problem, attrs)
 
 
-def _solve_problem_ba(problem, bridge, options, solver_type):
+def _solve_problem_ba(problem, bridge, options, solver_type,
+                      has_hooks=False):
     """Run the structured Schur BA (or its sharded variant) behind the
     same result contract as the dense path.  Returns
-    (lm_result, attrs_out, aux0, aux1)."""
+    (lm_result, attrs_out, aux0, aux1, interrupted).  With host hooks
+    the solve runs block-resumable (callback_interval iterations per
+    dispatch) like the dense chunked driver."""
     from mayamatchmovesolver_tpu.solver import ba as ba_lib
 
     linear_solver = options.ba_linear_solver
@@ -397,7 +457,12 @@ def _solve_problem_ba(problem, bridge, options, solver_type):
         float(options.eps1), float(options.eps2), float(options.eps3),
         str(linear_solver), int(options.ba_cg_iterations),
     )
-    if solver_type == registry_mod.SOLVER_TYPE_BA_SHARDED:
+    interrupted = False
+    if has_hooks:
+        # Host hooks need control between iteration blocks; sharded
+        # dispatch stays single-chip under the chunked driver.
+        ba_result, interrupted = _solve_ba_chunked(bridge, options, cfg)
+    elif solver_type == registry_mod.SOLVER_TYPE_BA_SHARDED:
         from jax.sharding import Mesh
 
         from mayamatchmovesolver_tpu.parallel import ba_sharded
@@ -446,7 +511,7 @@ def _solve_problem_ba(problem, bridge, options, solver_type):
         stop_reason=ba_result.stop_reason,
         gradient_norm=ba_result.gradient_norm,
     )
-    return lm_result, attrs_out, aux0, aux1
+    return lm_result, attrs_out, aux0, aux1, interrupted
 
 
 def _config_from_tuple(config_static_tuple):
@@ -597,11 +662,8 @@ def solve(
         or options.max_seconds is not None
     )
     ba_bridge_obj = None
-    if (
-        solver_type in (registry_mod.SOLVER_TYPE_BA_SCHUR,
-                        registry_mod.SOLVER_TYPE_BA_SHARDED)
-        and not has_hooks
-    ):
+    if solver_type in (registry_mod.SOLVER_TYPE_BA_SCHUR,
+                       registry_mod.SOLVER_TYPE_BA_SHARDED):
         # SolveProblem -> BAProblem bridge: requests with the
         # bundle-adjustment shape run the structured Schur backend;
         # others fall back to the dense LM with the reason recorded
@@ -618,15 +680,17 @@ def solve(
             fallback_note = " (ba fallback to dense: %s)" % reason
             solver_type = registry_mod.SOLVER_TYPE_LM_DENSE
 
-    if has_hooks:
+    if ba_bridge_obj is not None:
+        (lm_result, attrs_out, aux0, aux1,
+         interrupted) = _solve_problem_ba(
+            problem, ba_bridge_obj, options, solver_type,
+            has_hooks=has_hooks,
+        )
+    elif has_hooks:
         # Host hooks need control between iteration blocks; the
-        # chunked dense driver provides it regardless of backend.
+        # chunked dense driver provides it for the dense backend.
         (lm_result, attrs_out, aux0, aux1,
          interrupted) = _solve_problem_chunked(problem, cfg, options)
-    elif ba_bridge_obj is not None:
-        lm_result, attrs_out, aux0, aux1 = _solve_problem_ba(
-            problem, ba_bridge_obj, options, solver_type
-        )
     elif solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
         lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
             problem, cfg
@@ -655,7 +719,8 @@ def solve(
         result.stop_reason, ""
     ) + fallback_note
     result.solver_type_name = registry_mod.solver_name(
-        registry_mod.SOLVER_TYPE_LM_DENSE if has_hooks else solver_type
+        registry_mod.SOLVER_TYPE_LM_DENSE
+        if (has_hooks and ba_bridge_obj is None) else solver_type
     )
     result.user_interrupted = interrupted
     if interrupted:

@@ -365,3 +365,55 @@ def test_bridge_multicamera_rig():
         np.asarray(ev_ba.point_xy), np.asarray(ev_d.point_xy),
         atol=1e-4,
     )
+
+
+def test_bridge_hooks_run_ba_block_resumable():
+    """Progress callbacks + interruption on the BA backend: hooks no
+    longer force the dense fallback — the solve runs block-resumable
+    through ba_init/ba_run_block (ref: the reference's
+    isInterruptRequested polling, adjust_solveFunc.cpp:567-571)."""
+    sg, cam, bundles, scene, attrs0, _ = _tracked_scene()
+    attrs = _perturb(attrs0, cam, bundles, np.random.RandomState(9),
+                     pose=0.05, bnd=0.05)
+    solve_attrs = _pose_and_bundle_attrs(cam, bundles)
+    frames = np.arange(NUM_FRAMES)
+
+    progress = []
+    opts = SolverOptions(
+        iterations=30, image_width=1920.0,
+        solver_type=registry.SOLVER_TYPE_BA_SCHUR,
+        iteration_callback=lambda it, cost: progress.append((it, cost)),
+        callback_interval=3,
+    )
+    attrs_out, res = solve(scene, attrs, frames, solve_attrs, opts)
+    assert res.solver_type_name == "ba_schur", res.reason_string
+    assert res.success
+    assert not res.user_interrupted
+    assert len(progress) >= 2
+    # Iteration counts increase and costs fall monotonically-ish.
+    its = [p[0] for p in progress]
+    assert its == sorted(its) and its[0] <= 3
+    assert progress[-1][1] < progress[0][1]
+    assert res.error_final < 1e-3
+
+    # Interruption after the first block keeps the best-so-far state.
+    calls = {"n": 0}
+
+    def interrupt():
+        calls["n"] += 1
+        return calls["n"] >= 1
+
+    opts2 = SolverOptions(
+        iterations=30, image_width=1920.0,
+        solver_type=registry.SOLVER_TYPE_BA_SCHUR,
+        interrupt_check=interrupt, callback_interval=2,
+    )
+    attrs_int, res_int = solve(scene, attrs, frames, solve_attrs,
+                               opts2)
+    assert res_int.solver_type_name == "ba_schur"
+    assert res_int.user_interrupted
+    assert res_int.iterations <= 4
+    # The partial solve still improved the error (best-so-far kept)
+    # unless accept-only-better reverted — with a real improvement it
+    # must not revert here.
+    assert res_int.error_final <= res_int.error_initial
