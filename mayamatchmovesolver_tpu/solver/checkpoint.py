@@ -101,3 +101,29 @@ def load_lm_state(file_path):
         }
         metadata = json.loads(str(data["metadata"]))
     return lm_mod.LMState(**fields), metadata
+
+
+def save_ba_state(file_path, state, metadata=None):
+    """Checkpoint a resumable BA state (solver/ba.py BAState — the
+    block state the chunked BA driver passes between dispatches).
+    Resume by loading and feeding it back into ba.ba_run_block."""
+    arrays = {f: np.asarray(getattr(state, f)) for f in state._fields}
+    np.savez_compressed(
+        file_path,
+        format_version=FORMAT_VERSION,
+        metadata=json.dumps(metadata or {}),
+        **{"ba_" + k: v for k, v in arrays.items()},
+    )
+
+
+def load_ba_state(file_path):
+    """Returns (BAState, metadata dict)."""
+    from mayamatchmovesolver_tpu.solver import ba as ba_mod
+
+    with np.load(file_path, allow_pickle=False) as data:
+        fields = {
+            f: jnp.asarray(data["ba_" + f])
+            for f in ba_mod.BAState._fields
+        }
+        metadata = json.loads(str(data["metadata"]))
+    return ba_mod.BAState(**fields), metadata
