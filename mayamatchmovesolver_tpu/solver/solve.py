@@ -8,6 +8,7 @@ revert, and result assembly.  The hot loop itself is one jitted LM
 program per problem shape (solver/lm.py).
 """
 
+import contextlib
 import dataclasses
 import enum
 import functools
@@ -25,6 +26,7 @@ from mayamatchmovesolver_tpu.solver import problem as problem_mod
 from mayamatchmovesolver_tpu.solver import registry as registry_mod
 from mayamatchmovesolver_tpu.solver import results as results_mod
 from mayamatchmovesolver_tpu.solver.loss import RobustLossType
+from mayamatchmovesolver_tpu.utils import profiler as profiler_mod
 
 
 
@@ -106,6 +108,12 @@ class SolverOptions:
     # or explicitly 'cholesky' / 'cg'.
     ba_linear_solver: Optional[str] = None
     ba_cg_iterations: int = 30
+    # Capture a jax.profiler trace of the solve into this directory
+    # (view with XProf/TensorBoard) — the counterpart of the
+    # reference's MProfiler instrumentation scopes
+    # (ref: adjust_solveFunc.cpp:573-579 MAYA_PROFILE scopes and the
+    # per-phase SolverTimer, adjust_base.cpp:455-472).
+    profile_dir: Optional[str] = None
 
 
 def _lm_config(options: SolverOptions):
@@ -656,6 +664,10 @@ def solve(
     solver_type = _resolve_solver_type(options, problem)
     interrupted = False
     fallback_note = ""
+    profile_ctx = (
+        profiler_mod.xla_trace(options.profile_dir)
+        if options.profile_dir else contextlib.nullcontext()
+    )
     has_hooks = (
         options.iteration_callback is not None
         or options.interrupt_check is not None
@@ -680,25 +692,26 @@ def solve(
             fallback_note = " (ba fallback to dense: %s)" % reason
             solver_type = registry_mod.SOLVER_TYPE_LM_DENSE
 
-    if ba_bridge_obj is not None:
-        (lm_result, attrs_out, aux0, aux1,
-         interrupted) = _solve_problem_ba(
-            problem, ba_bridge_obj, options, solver_type,
-            has_hooks=has_hooks,
-        )
-    elif has_hooks:
-        # Host hooks need control between iteration blocks; the
-        # chunked dense driver provides it for the dense backend.
-        (lm_result, attrs_out, aux0, aux1,
-         interrupted) = _solve_problem_chunked(problem, cfg, options)
-    elif solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
-        lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
-            problem, cfg
-        )
-    else:
-        lm_result, attrs_out, aux0, aux1 = _solve_problem_jit(
-            problem, cfg
-        )
+    with profile_ctx:
+        if ba_bridge_obj is not None:
+            (lm_result, attrs_out, aux0, aux1,
+             interrupted) = _solve_problem_ba(
+                problem, ba_bridge_obj, options, solver_type,
+                has_hooks=has_hooks,
+            )
+        elif has_hooks:
+            # Host hooks need control between iteration blocks; the
+            # chunked dense driver provides it for the dense backend.
+            (lm_result, attrs_out, aux0, aux1,
+             interrupted) = _solve_problem_chunked(problem, cfg, options)
+        elif solver_type == registry_mod.SOLVER_TYPE_LM_SHARDED:
+            lm_result, attrs_out, aux0, aux1 = _solve_problem_sharded(
+                problem, cfg
+            )
+        else:
+            lm_result, attrs_out, aux0, aux1 = _solve_problem_jit(
+                problem, cfg
+            )
     jax.block_until_ready(lm_result.x)
     solve_seconds = time.perf_counter() - t0
 

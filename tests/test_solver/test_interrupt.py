@@ -162,3 +162,26 @@ def test_lm_state_checkpoint_roundtrip(tmp_path):
                                np.asarray(direct.x), atol=1e-12)
     final = lm.lm_finalize(resumed, cost0)
     assert float(final.cost) < 1e-20
+
+
+def test_profile_dir_captures_trace(tmp_path):
+    """SolverOptions(profile_dir=...) writes a jax.profiler trace of
+    the solve (the MProfiler-scope counterpart,
+    ref: adjust_solveFunc.cpp:573-579)."""
+    import os
+
+    scene, attrs, cam, bundles = _tracked_scene()
+    static = np.array(attrs.static_values)
+    static[bundles[0].attr("tx").code // 2] += 0.2
+    attrs = attrs._replace(static_values=jnp.asarray(static))
+    trace_dir = str(tmp_path / "trace")
+    _, result = solve(
+        scene, attrs, np.arange(8),
+        [bundles[0].attr("tx"), bundles[0].attr("ty")],
+        SolverOptions(image_width=1920.0, profile_dir=trace_dir),
+    )
+    assert result.success
+    found = []
+    for root, _, files in os.walk(trace_dir):
+        found += files
+    assert found, "no trace files written"
