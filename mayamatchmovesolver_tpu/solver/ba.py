@@ -108,7 +108,8 @@ class BAProblem:
 
     @property
     def num_shared(self):
-        return int(self.solve_focal) + sum(
+        focal_slots = self.num_cameras if self.solve_focal else 0
+        return focal_slots + sum(
             1 for m in self.lens_solve_mask if m
         )
 
@@ -130,6 +131,10 @@ def _static_cfg(problem: BAProblem):
         problem.rotate_order,
         problem.image_width,
         problem.solve_focal,
+        # Border focal slots: one per camera when focal is solved (a
+        # stereo rig solves one focal per physical lens; C=1 keeps the
+        # single shared focal).  Shape-derived, so it stays static.
+        problem.num_cameras if problem.solve_focal else 0,
         problem.lens_model_type,
         problem.lens_solve_mask,
         problem.loss_type,
@@ -144,23 +149,26 @@ def _lens_model(model_type, values):
 
 
 def _observation_residual(cam_vec, bnd_vec, shared_vec, intr, weight,
-                          lens_fixed, pixel_aspect, static_cfg, uv):
+                          lens_fixed, pixel_aspect, static_cfg, uv,
+                          focal_slot=0):
     """Residual of ONE (marker, frame) observation; the unit the
     Jacobians differentiate.  cam_vec: (6,), bnd_vec: (3,),
-    shared_vec: (S,), weight: scalar sqrt-weight*mask.
+    shared_vec: (S,), weight: scalar sqrt-weight*mask; focal_slot
+    selects this observation's camera's border focal (multi-camera
+    rigs solve one focal per camera).
 
     Matches the dense path's marker residual exactly
     (solver/problem.py measure_residuals): film-fit projection, lens
     distortion of the reprojected point, behind-camera x1e6, NaN guard,
     sqrt-weight scaling, then the robust-loss rescale."""
-    (film_fit, rotate_order, image_width, solve_focal,
+    (film_fit, rotate_order, image_width, solve_focal, num_focal_slots,
      lens_model_type, lens_solve_mask, loss_type, loss_scale) = static_cfg
 
     tx, ty, tz, rx, ry, rz = cam_vec[:6]
     s_idx = 0
     if solve_focal:
-        focal = shared_vec[0]
-        s_idx = 1
+        focal = shared_vec[focal_slot]
+        s_idx = num_focal_slots
     else:
         focal = intr[0]
     fbw_mm, fbh_mm = intr[1], intr[2]
@@ -252,22 +260,26 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
     static = _static_cfg(problem)
     bnd_per_marker = bnd_params[problem.mkr_bnd_index]  # (M, 3)
 
-    def obs(cam_vec, bnd_vec, shared, intr, w, uv):
+    def obs(cam_vec, bnd_vec, shared, intr, w, uv, slot):
         return _observation_residual(
             cam_vec, bnd_vec, shared, intr, w,
             problem.lens_params, problem.lens_pixel_aspect, static, uv,
+            focal_slot=slot,
         )
 
     jac = jax.jacfwd(obs, argnums=(0, 1, 2))
 
     num_frames = problem.marker_uv.shape[1]
     single_cam = cam_params.shape[0] == num_frames
+    focal_slots = problem.mkr_cam_block // num_frames  # (M,) cam index
 
-    def per_marker(bnd_vec, uv_row, w_row, cam_rows, intr_rows):
+    def per_marker(bnd_vec, uv_row, w_row, cam_rows, intr_rows, slot):
         def frame_fn(cam_vec, intr, w, uv):
             return (
-                obs(cam_vec, bnd_vec, shared_params, intr, w, uv),
-                jac(cam_vec, bnd_vec, shared_params, intr, w, uv),
+                obs(cam_vec, bnd_vec, shared_params, intr, w, uv,
+                    slot),
+                jac(cam_vec, bnd_vec, shared_params, intr, w, uv,
+                    slot),
             )
 
         r, (jc, jb, js) = jax.vmap(frame_fn)(
@@ -281,10 +293,12 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
         # materializing (M, F, ...) gathers (measured 3x on the
         # 200f/100b TPU bench).
         r, j_cam, j_bnd, j_sh = jax.vmap(
-            lambda bnd_vec, uv_row, w_row: per_marker(
-                bnd_vec, uv_row, w_row, cam_params, problem.intrinsics
+            lambda bnd_vec, uv_row, w_row, slot: per_marker(
+                bnd_vec, uv_row, w_row, cam_params, problem.intrinsics,
+                slot,
             )
-        )(bnd_per_marker, problem.marker_uv, problem.weight)
+        )(bnd_per_marker, problem.marker_uv, problem.weight,
+          focal_slots)
     else:
         cam_rows = _gather_cam(cam_params, problem.mkr_cam_block,
                                num_frames)
@@ -292,7 +306,7 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
                                 problem.mkr_cam_block, num_frames)
         r, j_cam, j_bnd, j_sh = jax.vmap(per_marker)(
             bnd_per_marker, problem.marker_uv, problem.weight,
-            cam_rows, intr_rows,
+            cam_rows, intr_rows, focal_slots,
         )
     # r: (M, F, 2); j_cam: (M, F, 2, 6); j_bnd: (M, F, 2, 3);
     # j_sh: (M, F, 2, S).
@@ -309,32 +323,35 @@ def ba_residuals(problem: BAProblem, cam_params, bnd_params,
     static = _static_cfg(problem)
     bnd_per_marker = bnd_params[problem.mkr_bnd_index]
 
-    def obs(cam_vec, bnd_vec, intr, w, uv):
+    def obs(cam_vec, bnd_vec, intr, w, uv, slot):
         return _observation_residual(
             cam_vec, bnd_vec, shared_params, intr, w,
             problem.lens_params, problem.lens_pixel_aspect, static, uv,
+            focal_slot=slot,
         )
 
     num_frames = problem.marker_uv.shape[1]
+    focal_slots = problem.mkr_cam_block // num_frames
     if cam_params.shape[0] == num_frames:  # single camera fast path
         return jax.vmap(
-            lambda bnd_vec, uv_row, w_row: jax.vmap(
+            lambda bnd_vec, uv_row, w_row, slot: jax.vmap(
                 lambda cam_vec, intr, w, uv: obs(
-                    cam_vec, bnd_vec, intr, w, uv
+                    cam_vec, bnd_vec, intr, w, uv, slot
                 )
             )(cam_params, problem.intrinsics, w_row, uv_row)
-        )(bnd_per_marker, problem.marker_uv, problem.weight)
+        )(bnd_per_marker, problem.marker_uv, problem.weight,
+          focal_slots)
     cam_rows = _gather_cam(cam_params, problem.mkr_cam_block,
                            num_frames)
     intr_rows = _gather_cam(problem.intrinsics, problem.mkr_cam_block,
                             num_frames)
     return jax.vmap(
-        lambda bnd_vec, uv_row, w_row, cams, intrs: jax.vmap(
+        lambda bnd_vec, uv_row, w_row, cams, intrs, slot: jax.vmap(
             lambda cam_vec, intr, w, uv: obs(cam_vec, bnd_vec, intr, w,
-                                             uv)
+                                             uv, slot)
         )(cams, intrs, w_row, uv_row)
     )(bnd_per_marker, problem.marker_uv, problem.weight,
-      cam_rows, intr_rows)
+      cam_rows, intr_rows, focal_slots)
 
 
 def ba_cost(problem: BAProblem, cam_params, bnd_params, shared_params):
@@ -1078,7 +1095,11 @@ def make_ba_problem(
 
     shared = []
     if solve_focal:
-        shared.append(float(focal_length_mm))
+        # One border focal per camera (C=1: the single shared focal),
+        # initialized from each camera's intrinsics row.
+        intr_np = _np.asarray(intrinsics)
+        for ci in range(num_cameras):
+            shared.append(float(intr_np[ci * num_frames, 0]))
     for pi, solved in enumerate(lens_solve_mask):
         if solved:
             shared.append(lens_values[pi])

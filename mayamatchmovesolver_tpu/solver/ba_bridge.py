@@ -43,7 +43,9 @@ class BABridge:
     frame_indices: np.ndarray  # (F,)
     pose_codes: np.ndarray  # (C, 6) animated camera channel codes
     bnd_codes: np.ndarray  # (B, 3) static bundle channel codes
-    focal_code: Optional[int]  # static focal code when solve_focal
+    # Static focal codes when solve_focal: one per camera, in border
+    # order (None when focal is not solved).
+    focal_codes: Optional[List[int]]
     lens_codes: List[int]  # solved lens param codes, border order
 
     def apply_result(self, attrs: AttrBlock,
@@ -65,9 +67,10 @@ class BABridge:
         static[self.bnd_codes // 2] = bnd
         shared = np.asarray(result.shared_params)
         si = 0
-        if self.focal_code is not None:
-            static[self.focal_code // 2] = shared[si]
-            si += 1
+        if self.focal_codes is not None:
+            for code in self.focal_codes:
+                static[code // 2] = shared[si]
+                si += 1
         for code in self.lens_codes:
             static[code // 2] = shared[si]
             si += 1
@@ -185,6 +188,7 @@ def build_ba_bridge(
     pose_solved = {}  # (cam_index, channel) -> code
     bnd_solved = {}  # bnd_index -> set(channel)
     solve_focal = False
+    focal_solved_cams = set()
     lens_solved_positions = []  # positions into the lens field order
     for attr in solve_attrs:
         if _attr_has_bounds(attr):
@@ -201,10 +205,9 @@ def build_ba_bridge(
         if focal_pos.size:
             if code % 2 != 0:
                 return None, "animated focal length"
-            if num_cameras > 1:
-                # One border focal cannot represent per-camera focals.
-                return None, "focal solving on a multi-camera rig"
+            # The border holds one focal per camera; track which.
             solve_focal = True
+            focal_solved_cams.add(int(focal_pos[0]))
             continue
         bnd_pos = np.nonzero(bnd_code_table == code)
         if bnd_pos[0].size:
@@ -223,6 +226,12 @@ def build_ba_bridge(
             getattr(attr.node, "name", "?"), attr.name
         )
 
+    if solve_focal and len(focal_solved_cams) != num_cameras:
+        # The border solves one focal PER camera; a partial set would
+        # silently free unsolved cameras' focals too.
+        return None, "focal solved on %d of %d cameras" % (
+            len(focal_solved_cams), num_cameras
+        )
     if len(pose_solved) != 6 * num_cameras:
         return None, "camera pose not fully solved (%d/%d channels)" % (
             len(pose_solved), 6 * num_cameras
@@ -339,8 +348,8 @@ def build_ba_bridge(
         frame_indices=frame_indices,
         pose_codes=pose_code_table.astype(np.int64),
         bnd_codes=bnd_code_table.astype(np.int64),
-        focal_code=(
-            int(focal_codes[0]) if solve_focal else None
+        focal_codes=(
+            [int(c) for c in focal_codes] if solve_focal else None
         ),
         lens_codes=lens_codes_border,
     )
