@@ -590,7 +590,7 @@ def _schur_normal_step(problem: BAProblem, cam_params, bnd_params,
 
 
 def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
-                   shared_params, mu, cg_iterations):
+                   shared_params, mu, cg_iterations, cg_rtol=1e-12):
     """One damped Gauss-Newton step via Schur elimination of bundles
     with the reduced [camera | border] system solved by preconditioned
     conjugate gradients instead of a dense Cholesky.
@@ -704,11 +704,19 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
     x0_c = jnp.zeros_like(rhs_c)
     x0_s = jnp.zeros_like(rhs_s)
     z0_c, z0_s = precond(rhs_c, rhs_s)
+    rz0 = pdot(rhs_c, rhs_s, z0_c, z0_s)
+    # Early exit once the preconditioned residual has dropped 6 orders
+    # (more than enough for an inexact-Newton LM step): converged
+    # iterates stop paying matvecs instead of spinning to the cap.
+    rz_tol = cg_rtol * jnp.maximum(rz0, 1e-300)
 
-    def cg_body(_, state):
-        x_c, x_s, r_c, r_s, z_c, z_s, p_cv, p_sv = state
+    def cg_cond(state):
+        it, x_c, x_s, r_c, r_s, z_c, z_s, p_cv, p_sv, rz = state
+        return (it < cg_iterations) & (rz > rz_tol)
+
+    def cg_body(state):
+        it, x_c, x_s, r_c, r_s, z_c, z_s, p_cv, p_sv, rz = state
         ap_c, ap_s = matvec(p_cv, p_sv)
-        rz = pdot(r_c, r_s, z_c, z_s)
         pap = pdot(p_cv, p_sv, ap_c, ap_s)
         ok = (pap > 0.0) & (rz > 0.0)
         alpha = jnp.where(ok, rz / jnp.where(ok, pap, 1.0), 0.0)
@@ -717,19 +725,17 @@ def _schur_cg_step(problem: BAProblem, cam_params, bnd_params,
         r_c_new = jnp.where(ok, r_c - alpha * ap_c, r_c)
         r_s_new = jnp.where(ok, r_s - alpha * ap_s, r_s)
         z_c_new, z_s_new = precond(r_c_new, r_s_new)
-        beta = jnp.where(
-            ok,
-            pdot(r_c_new, r_s_new, z_c_new, z_s_new)
-            / jnp.where(ok, rz, 1.0),
-            0.0,
-        )
-        return (x_c, x_s, r_c_new, r_s_new, z_c_new, z_s_new,
+        rz_new = pdot(r_c_new, r_s_new, z_c_new, z_s_new)
+        beta = jnp.where(ok, rz_new / jnp.where(ok, rz, 1.0), 0.0)
+        return (it + 1, x_c, x_s, r_c_new, r_s_new, z_c_new, z_s_new,
                 jnp.where(ok, z_c_new + beta * p_cv, p_cv),
-                jnp.where(ok, z_s_new + beta * p_sv, p_sv))
+                jnp.where(ok, z_s_new + beta * p_sv, p_sv),
+                jnp.where(ok, rz_new, jnp.zeros_like(rz_new)))
 
-    dx_cam, dx_sh, _, _, _, _, _, _ = jax.lax.fori_loop(
-        0, cg_iterations, cg_body,
-        (x0_c, x0_s, rhs_c, rhs_s, z0_c, z0_s, z0_c, z0_s),
+    (_, dx_cam, dx_sh, _, _, _, _, _, _, _) = jax.lax.while_loop(
+        cg_cond, cg_body,
+        (jnp.asarray(0, jnp.int32), x0_c, x0_s, rhs_c, rhs_s,
+         z0_c, z0_s, z0_c, z0_s, rz0),
     )
 
     # Bundle back-substitution.

@@ -286,7 +286,7 @@ def test_multicamera_cg_step_matches_dense_oracle():
     mu = 1e-3
     dx_cam, dx_bnd, dx_sh, cost, gnorm, pred = ba._schur_cg_step(
         problem, problem.cam_params, problem.bnd_params,
-        problem.shared_params, mu, cg_iterations=200,
+        problem.shared_params, mu, cg_iterations=200, cg_rtol=0.0,
     )
     dx_dense, f, pc, b, s = _dense_step_oracle(problem, mu)
     np.testing.assert_allclose(
