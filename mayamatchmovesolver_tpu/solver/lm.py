@@ -76,13 +76,24 @@ def _make_normal_system(residual_fn, mode):
     adjust_solveFunc.cpp:305-525).  rev mode: one VJP per residual row
     via jacrev (better when m << n).
     """
+    # The J^T J / J^T r reductions are pinned to float32 accumulation:
+    # on TPU the default bf16 matmul passes make the normal equations
+    # singular (identical f32 programs converge on CPU, so CPU tests
+    # cannot catch a missing pin).  Scene evaluation inside
+    # residual_fn keeps the caller's (cheaper) precision.
+    _hi = jax.lax.Precision.HIGHEST
+
     if mode == "rev":
         jac_fn = jax.jacrev(residual_fn)
 
         def system(x):
             r = residual_fn(x)
             j = jac_fn(x)
-            return r, j.T @ j, j.T @ r
+            return (
+                r,
+                jnp.matmul(j.T, j, precision=_hi),
+                jnp.matmul(j.T, r, precision=_hi),
+            )
 
         return system
 
@@ -90,7 +101,11 @@ def _make_normal_system(residual_fn, mode):
         r, lin = jax.linearize(residual_fn, x)
         basis = jnp.eye(x.shape[0], dtype=x.dtype)
         jt = jax.vmap(lin)(basis)  # (n, m): row i = J @ e_i
-        return r, jt @ jt.T, jt @ r
+        return (
+            r,
+            jnp.matmul(jt, jt.T, precision=_hi),
+            jnp.matmul(jt, r, precision=_hi),
+        )
 
     return system
 
@@ -113,7 +128,10 @@ def _solve_damped(jtj, jtr, mu, diag_floor=1e-12):
     s = jax.lax.rsqrt(d)
     a = jtj * (s[:, None] * s[None, :])
     a = a + mu * jnp.eye(a.shape[0], dtype=a.dtype)
-    y = linalg.solve_spd(a, -(s * jtr))
+    # The factorization's inner products must accumulate in f32 on TPU
+    # (bf16 passes lose the conditioning the Jacobi scaling bought).
+    with jax.default_matmul_precision("float32"):
+        y = linalg.solve_spd(a, -(s * jtr))
     return s * y
 
 
