@@ -34,6 +34,19 @@ Schur-complement distribution.
 The LM loop uses the true gain ratio with Nielsen's mu update and the
 same eps1/2/3 stopping semantics as solver/lm.py — converged problems
 stop early instead of burning max_iterations.
+
+Objective parity with the single-chip path: every residual and
+Jacobian block is produced by solver/ba.py's _observation_residual via
+ba_cost / assemble_normal_blocks on a dataclasses.replace'd view of
+the SAME BAProblem, so the static loss_type/loss_scale fields (robust
+loss: trivial / soft-L1 / Cauchy, ref: adjust_base.cpp:132-187), the
+behind-camera inflation and the NaN guards are identical here — an
+outlier-contaminated shot computes the same objective sharded or not
+(tests/test_parallel/test_sharded.py::
+test_sharded_ba_robust_loss_outliers).  Box-constrained attributes
+never reach either BA backend: the bridge classifies them out to the
+dense LM's sine reparameterization before dispatch
+(solver/ba_bridge.py _attr_has_bounds).
 """
 
 import dataclasses
@@ -61,6 +74,8 @@ class ShardedBAResult(NamedTuple):
     cost_initial: jax.Array
     iterations: jax.Array
     stop_reason: jax.Array  # 1 ftol, 2 xtol, 3 gtol, 4 maxiter
+    func_evals: int = 0  # counted trial-cost evaluations (+ initial)
+    jacobian_evals: int = 0  # counted block assemblies
 
 
 def shard_ba_problem(problem: ba_mod.BAProblem, mesh: Mesh,
@@ -320,11 +335,11 @@ def sharded_solve_ba(
         mu0 = jnp.asarray(tau, cam_params.dtype)
 
         def cond(s):
-            cam, bnd, sh, cost, mu, nu, it, stop = s
+            cam, bnd, sh, cost, mu, nu, it, stop, nfev, njev = s
             return (stop == 0) & (it < max_iterations)
 
         def body(s):
-            cam, bnd, sh, cost, mu, nu, it, stop = s
+            cam, bnd, sh, cost, mu, nu, it, stop, nfev, njev = s
             _, dx_cam, dx_bnd, dx_sh, gnorm, pred = gn_step(
                 cam, bnd, sh, mu
             )
@@ -376,18 +391,22 @@ def sharded_solve_ba(
                 ),
             ).astype(jnp.int32)
             cost = jnp.where(accept, cost_new, cost)
+            # Counted evaluations: one block assembly (gn_step) and
+            # one trial cost per iteration.
             return (cam, bnd, sh, cost, mu_new, nu_new, it + 1,
-                    stop_new)
+                    stop_new, nfev + 1, njev + 1)
 
-        cam, bnd, sh, cost, mu, nu, it, stop = jax.lax.while_loop(
+        (cam, bnd, sh, cost, mu, nu, it, stop, nfev,
+         njev) = jax.lax.while_loop(
             cond,
             body,
             (cam_params, bnd_params, shared_params, cost0,
              mu0, jnp.asarray(2.0, cam_params.dtype),
-             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32)),
+             jnp.asarray(0, jnp.int32), jnp.asarray(0, jnp.int32),
+             jnp.asarray(1, jnp.int32), jnp.asarray(0, jnp.int32)),
         )
         stop = jnp.where(stop == 0, 4, stop)
-        return cam, bnd, sh, cost, cost0, it, stop
+        return cam, bnd, sh, cost, cost0, it, stop, nfev, njev
 
     fn = shard_map(
         lm_loop,
@@ -410,11 +429,13 @@ def sharded_solve_ba(
             P(),                 # cost0
             P(),                 # iterations
             P(),                 # stop
+            P(),                 # nfev
+            P(),                 # njev
         ),
     )
     # f32 accumulation for the normal equations (see ba.solve_ba).
     with jax.default_matmul_precision("float32"):
-        cam, bnd, sh, cost, cost0, it, stop = fn(
+        cam, bnd, sh, cost, cost0, it, stop, nfev, njev = fn(
             problem.marker_uv,
             problem.weight,
             problem.mkr_bnd_index,
@@ -432,4 +453,6 @@ def sharded_solve_ba(
         cost_initial=cost0,
         iterations=it,
         stop_reason=stop,
+        func_evals=nfev,
+        jacobian_evals=njev,
     )

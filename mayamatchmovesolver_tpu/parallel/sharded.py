@@ -59,10 +59,14 @@ def _local_problem(problem, anim_block, mask_block, num_local_frames):
 class ShardedLMState(NamedTuple):
     params: jax.Array
     cost: jax.Array
+    jtj: jax.Array
+    jtr: jax.Array
     mu: jax.Array
     nu: jax.Array
     it: jax.Array
     stop: jax.Array
+    nfev: jax.Array  # counted residual evaluations (real, not derived)
+    njev: jax.Array  # counted Jacobian evaluations
 
 
 def sharded_normal_system(problem, mesh, axis_name="frames"):
@@ -169,15 +173,19 @@ def _sharded_lm_impl(problem, x0, mesh, max_iterations, tau, eps1,
         return (s.stop == 0) & (s.it < max_iterations)
 
     def body(s):
-        cost, jtj, jtr = normal_fn(s.params)
-        d = jnp.maximum(jnp.diag(jtj), 1e-12)
-        dx = linalg.solve_spd(jtj + s.mu * jnp.diag(d), -jtr)
+        # The state CARRIES the normal system at the current iterate
+        # (like solver/lm.py): one sharded evaluation per iteration —
+        # the trial point's system doubles as the next iteration's on
+        # acceptance and is discarded via select on rejection.
+        d = jnp.maximum(jnp.diag(s.jtj), 1e-12)
+        dx = linalg.solve_spd(s.jtj + s.mu * jnp.diag(d), -s.jtr)
         x_new = s.params + dx
-        cost_new, _, _ = normal_fn(x_new)
+        cost_new, jtj_new, jtr_new = normal_fn(x_new)
 
-        predicted = jnp.maximum(0.5 * jnp.dot(dx, s.mu * d * dx - jtr),
-                                1e-300)
-        rho = (cost - cost_new) / predicted
+        predicted = jnp.maximum(
+            0.5 * jnp.dot(dx, s.mu * d * dx - s.jtr), 1e-300
+        )
+        rho = (s.cost - cost_new) / predicted
         accept = (rho > 0.0) & jnp.all(jnp.isfinite(dx))
 
         mu_new = jnp.where(
@@ -187,31 +195,38 @@ def _sharded_lm_impl(problem, x0, mesh, max_iterations, tau, eps1,
         )
         nu_new = jnp.where(accept, 2.0, s.nu * 2.0)
         params = jnp.where(accept, x_new, s.params)
-        cost2 = jnp.where(accept, cost_new, cost)
+        cost2 = jnp.where(accept, cost_new, s.cost)
+        jtj2 = jnp.where(accept, jtj_new, s.jtj)
+        jtr2 = jnp.where(accept, jtr_new, s.jtr)
 
         small_step = jnp.linalg.norm(dx) <= eps2 * (
             jnp.linalg.norm(s.params) + eps2
         )
-        small_grad = jnp.max(jnp.abs(jtr)) <= eps1
+        small_grad = jnp.max(jnp.abs(jtr2)) <= eps1
         small_red = accept & (
-            (cost - cost_new) <= eps3 * jnp.maximum(cost, 1e-300)
+            (s.cost - cost_new) <= eps3 * jnp.maximum(s.cost, 1e-300)
         )
         stop = jnp.where(
             small_grad, 3, jnp.where(small_step, 2,
                                      jnp.where(small_red, 1, 0))
         ).astype(jnp.int32)
         return ShardedLMState(
-            params=params, cost=cost2, mu=mu_new, nu=nu_new,
-            it=s.it + 1, stop=stop,
+            params=params, cost=cost2, jtj=jtj2, jtr=jtr2,
+            mu=mu_new, nu=nu_new, it=s.it + 1, stop=stop,
+            nfev=s.nfev + 1, njev=s.njev + 1,
         )
 
     init = ShardedLMState(
         params=x0,
         cost=cost0,
+        jtj=jtj0,
+        jtr=jtr0,
         mu=jnp.asarray(mu0, x0.dtype),
         nu=jnp.asarray(2.0, x0.dtype),
         it=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(0, jnp.int32),
+        nfev=jnp.asarray(1, jnp.int32),
+        njev=jnp.asarray(1, jnp.int32),
     )
     return jax.lax.while_loop(cond, body, init)
 

@@ -123,6 +123,13 @@ class BAResult(NamedTuple):
     iterations: jax.Array
     stop_reason: jax.Array  # 1 ftol, 2 xtol, 3 gtol, 4 maxiter, 5 fail
     gradient_norm: jax.Array
+    # Counted (not derived) evaluation totals: func_evals = cost-only
+    # evaluations (initial cost + one trial cost per iteration);
+    # jacobian_evals = block assemblies (residual + all Jacobian
+    # blocks, one per iteration).  Ref: the reference's measured
+    # counters in adjust_results.h:59-940.
+    func_evals: int = 0
+    jacobian_evals: int = 0
 
 
 def _static_cfg(problem: BAProblem):
@@ -784,6 +791,8 @@ class _BAState(NamedTuple):
     it: jax.Array
     stop: jax.Array
     gnorm: jax.Array
+    nfev: int = 1
+    njev: int = 0
 
 
 def solve_ba(
@@ -855,6 +864,8 @@ def ba_init(problem: BAProblem, tau=1e-3) -> _BAState:
         it=jnp.asarray(0, jnp.int32),
         stop=jnp.asarray(0, jnp.int32),
         gnorm=jnp.asarray(jnp.inf, problem.cam_params.dtype),
+        nfev=jnp.asarray(1, jnp.int32),
+        njev=jnp.asarray(0, jnp.int32),
     )
 
 
@@ -890,6 +901,8 @@ def ba_finalize(state: _BAState, cost_initial) -> BAResult:
         iterations=state.it,
         stop_reason=stop,
         gradient_norm=state.gnorm,
+        func_evals=state.nfev,
+        jacobian_evals=state.njev,
     )
 
 
@@ -979,6 +992,9 @@ def _make_ba_body(problem, eps1, eps2, eps3, linear_solver,
         return _BAState(
             cam=cam2, bnd=bnd2, sh=sh2, cost=cost2, mu=mu_new,
             nu=nu_new, it=s.it + 1, stop=stop, gnorm=gnorm,
+            # One block assembly (residual + Jacobian blocks) and one
+            # trial cost evaluation per iteration, counted in-state.
+            nfev=s.nfev + 1, njev=s.njev + 1,
         )
 
     return body
