@@ -4,9 +4,12 @@ Covers the reference's mmimage capability
 (ref: lib/rust/mmimage/src/lib.rs:39,64,142 — read metadata, read
 pixels as f32x4 RGBA, write f32x4 RGBA with metadata round-trip) without
 external dependencies: single-part scanline EXRs, float32/half channels,
-NONE / RLE / ZIP / ZIPS / PIZ compression (io/_piz.py implements the
-wavelet+Huffman scheme), plus tiled single-part and multi-part scanline
-reads.  Pixel transforms are NumPy-vectorized.
+all eight non-deep OpenEXR compressions — NONE / RLE / ZIP / ZIPS /
+PIZ (io/_piz.py, wavelet+Huffman) / PXR24 / B44 / B44A
+(io/_pxr24_b44.py; PXR24 quantizes floats to 24 bits, B44 packs 4x4
+half blocks to 14 bytes, B44A adds 3-byte flat blocks) — plus tiled
+single-part and multi-part scanline reads.  Pixel transforms are
+NumPy-vectorized.
 """
 
 import struct
@@ -15,6 +18,7 @@ import zlib
 import numpy as np
 
 from mayamatchmovesolver_tpu.io import _piz
+from mayamatchmovesolver_tpu.io import _pxr24_b44
 
 _MAGIC = b"\x76\x2f\x31\x01"
 
@@ -32,12 +36,18 @@ COMPRESSION_RLE = 1
 COMPRESSION_ZIPS = 2
 COMPRESSION_ZIP = 3
 COMPRESSION_PIZ = 4
+COMPRESSION_PXR24 = 5
+COMPRESSION_B44 = 6
+COMPRESSION_B44A = 7
 _LINES_PER_CHUNK = {
     COMPRESSION_NONE: 1,
     COMPRESSION_RLE: 1,
     COMPRESSION_ZIPS: 1,
     COMPRESSION_ZIP: 16,
     COMPRESSION_PIZ: 32,
+    COMPRESSION_PXR24: 16,
+    COMPRESSION_B44: 32,
+    COMPRESSION_B44A: 32,
 }
 
 
@@ -265,6 +275,17 @@ def _decompress_chunk(raw, size, expected, compression, channels,
             raw = _piz.piz_uncompress(
                 raw, channels, width, n_lines, _TYPE_SIZE
             )
+        elif compression == COMPRESSION_PXR24:
+            raw = _pxr24_b44.pxr24_uncompress(
+                raw, channels, width, n_lines, _TYPE_SIZE
+            )
+        elif compression in (COMPRESSION_B44, COMPRESSION_B44A):
+            raw = _pxr24_b44.b44_uncompress(
+                raw, channels, width, n_lines, _TYPE_SIZE
+            )
+    # size == expected means the writer stored the block raw (the
+    # OpenEXR convention: compressors whose output would be >= the
+    # input emit the input unchanged).
     if len(raw) != expected:
         raise ExrError("bad chunk size")
     return raw
@@ -531,6 +552,18 @@ def _compress_block(raw, compression, channels, width, n_lines):
     elif compression == COMPRESSION_PIZ:
         packed = _piz.piz_compress(
             raw, channels, width, n_lines, _TYPE_SIZE
+        )
+    elif compression == COMPRESSION_PXR24:
+        packed = _pxr24_b44.pxr24_compress(
+            raw, channels, width, n_lines, _TYPE_SIZE
+        )
+    elif compression == COMPRESSION_B44:
+        packed = _pxr24_b44.b44_compress(
+            raw, channels, width, n_lines, _TYPE_SIZE, opt_flat=False
+        )
+    elif compression == COMPRESSION_B44A:
+        packed = _pxr24_b44.b44_compress(
+            raw, channels, width, n_lines, _TYPE_SIZE, opt_flat=True
         )
     else:
         packed = raw
