@@ -259,11 +259,39 @@ def _scatter_frames(contrib_mf, cam_block, num_cam_blocks):
     )
 
 
+import os as _os
+
+# Jacobian assembly backend: 'analytic' (per-frame Q Jacobians +
+# chain rule — the fast path, ~4x on the production-scale assembly) or
+# 'ad' (per-observation forward AD — the agreement oracle).
+_BA_ASSEMBLY = _os.environ.get("MMSOLVER_TPU_BA_ASSEMBLY", "analytic")
+
+
 def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
                          shared_params):
     """All residuals + per-observation Jacobian blocks, batched.
 
     Returns (r, j_cam, j_bnd, j_shared) shaped (M, F, 2[, ...])."""
+    multi_cam_lens = (
+        bool(problem.lens_model_type)
+        and cam_params.shape[0] != problem.marker_uv.shape[1]
+    )
+    if _BA_ASSEMBLY == "analytic" and not multi_cam_lens:
+        return _residual_and_blocks_analytic(
+            problem, cam_params, bnd_params, shared_params
+        )
+    # 'ad' override, or the multi-camera + lens combination (which the
+    # product bridge never produces) — per-observation forward AD.
+    return _residual_and_blocks_ad(
+        problem, cam_params, bnd_params, shared_params
+    )
+
+
+def _residual_and_blocks_ad(problem: BAProblem, cam_params, bnd_params,
+                            shared_params):
+    """Per-observation forward-AD assembly (vmap(jacfwd) of the tiny
+    observation function) — the independent oracle the analytic path
+    is tested against."""
     static = _static_cfg(problem)
     bnd_per_marker = bnd_params[problem.mkr_bnd_index]  # (M, 3)
 
@@ -317,6 +345,323 @@ def _residual_and_blocks(problem: BAProblem, cam_params, bnd_params,
         )
     # r: (M, F, 2); j_cam: (M, F, 2, 6); j_bnd: (M, F, 2, 3);
     # j_sh: (M, F, 2, S).
+    return r, j_cam, j_bnd, j_sh
+
+
+def _frame_q_system(problem: BAProblem, cam_params, shared_params):
+    """Per-frame-block projection system Q_f = P_f @ inv(M_f) and its
+    Jacobians wrt the 6 pose params (and the border focal when
+    solved), computed ONCE per frame block.
+
+    The per-observation residual factors as
+        clip = Q_f @ [X_m, 1],   xy = clip_{0:2} / clip_3 * 0.5,
+    so every camera-side derivative is a chain through Q — computing
+    dQ by forward AD per FRAME (C*F tiny problems) instead of per
+    OBSERVATION turns the Jacobian assembly from M*F full-pipeline
+    tangent passes into a handful of (F,4,4,k) x (M,4) einsums
+    (measured: 156 ms -> ~35 ms per assembly at F=1024/B=2048 on one
+    chip).  Returns (q, dq_dcam, dq_dfocal_or_None, minv_row2)."""
+    (film_fit, rotate_order, _image_width, solve_focal,
+     num_focal_slots, _lmt, _mask, _lt, _ls) = _static_cfg(problem)
+    intr = problem.intrinsics  # (C*F, 8), camera-major like cam blocks
+    num_frames = problem.marker_uv.shape[1]
+    num_blocks = cam_params.shape[0]
+    if solve_focal:
+        cam_index = jnp.arange(num_blocks) // num_frames
+        focal_vec = shared_params[cam_index]
+    else:
+        focal_vec = intr[:, 0]
+
+    def qrow(cam_vec, focal, intr_row):
+        tx, ty, tz, rx, ry, rz = cam_vec[:6]
+        cam_world = tfm_math.trs_matrix(
+            tx, ty, tz, rx, ry, rz, 1.0, 1.0, 1.0, rotate_order
+        )
+        cam_inv = tfm_math.affine_inverse(cam_world)
+        proj = cam_math.projection_matrix(
+            focal,
+            intr_row[1] * MM_TO_INCH,
+            intr_row[2] * MM_TO_INCH,
+            intr_row[3] * MM_TO_INCH,
+            intr_row[4] * MM_TO_INCH,
+            intr_row[7],
+            1.0,
+            film_fit,
+            NEAR_CLIP_PLANE_CM,
+            intr_row[5],
+            intr_row[6],
+        )
+        return proj @ cam_inv, cam_inv[2]
+
+    q, row2 = jax.vmap(qrow)(cam_params, focal_vec, intr)
+    dq_dcam = jax.vmap(
+        jax.jacfwd(lambda c, f, i: qrow(c, f, i)[0], argnums=0)
+    )(cam_params, focal_vec, intr)  # (CF, 4, 4, 6)
+    dq_dfocal = None
+    if solve_focal:
+        dq_dfocal = jax.vmap(
+            jax.jacfwd(lambda c, f, i: qrow(c, f, i)[0], argnums=1)
+        )(cam_params, focal_vec, intr)  # (CF, 4, 4)
+    return q, dq_dcam, dq_dfocal, row2
+
+
+def _residual_and_blocks_analytic(problem: BAProblem, cam_params,
+                                  bnd_params, shared_params):
+    """Analytic-chain-rule twin of _residual_and_blocks_ad: same
+    (r, j_cam, j_bnd, j_shared) tensors, assembled from per-frame Q
+    Jacobians + the perspective-divide / lens / loss chains instead of
+    per-observation forward AD (the two paths are each other's
+    agreement oracle, tests/test_solver/test_ba_schur.py)."""
+    (film_fit, rotate_order, image_width, solve_focal, num_focal_slots,
+     lens_model_type, lens_solve_mask, loss_type,
+     loss_scale) = _static_cfg(problem)
+    num_frames = problem.marker_uv.shape[1]
+    num_markers = problem.marker_uv.shape[0]
+    single_cam = cam_params.shape[0] == num_frames
+    dtype = cam_params.dtype
+    n_lens_solved = sum(1 for m in lens_solve_mask if m)
+    num_shared = (num_focal_slots if solve_focal else 0) + n_lens_solved
+
+    q, dq_dcam, dq_dfocal, row2 = _frame_q_system(
+        problem, cam_params, shared_params
+    )
+
+    bnd_m = bnd_params[problem.mkr_bnd_index]  # (M, 3)
+    xh = jnp.concatenate(
+        [bnd_m, jnp.ones((num_markers, 1), dtype)], axis=-1
+    )  # (M, 4)
+
+    if single_cam:
+        clip = jnp.einsum("fij,mj->mfi", q, xh)
+        dclip_dcam = jnp.einsum("fijk,mj->mfik", dq_dcam, xh)
+        z_cam = jnp.einsum("fj,mj->mf", row2, xh)
+        # dclip/dX columns come straight from Q (homogeneous linear).
+        q_rows = q[None]  # (1, F, 4, 4) broadcasting over markers
+        dclip_df = (
+            jnp.einsum("fij,mj->mfi", dq_dfocal, xh)
+            if solve_focal else None
+        )
+    else:
+        q_g = _gather_cam(q, problem.mkr_cam_block, num_frames)
+        dq_g = _gather_cam(dq_dcam, problem.mkr_cam_block, num_frames)
+        row2_g = _gather_cam(row2, problem.mkr_cam_block, num_frames)
+        clip = jnp.einsum("mfij,mj->mfi", q_g, xh)
+        dclip_dcam = jnp.einsum("mfijk,mj->mfik", dq_g, xh)
+        z_cam = jnp.einsum("mfj,mj->mf", row2_g, xh)
+        q_rows = q_g
+        dclip_df = None
+        if solve_focal:
+            dqf_g = _gather_cam(dq_dfocal, problem.mkr_cam_block,
+                                num_frames)
+            dclip_df = jnp.einsum("mfij,mj->mfi", dqf_g, xh)
+
+    w_clip = clip[..., 3]  # (M, F)
+    inv_w = 0.5 / w_clip
+    xy = clip[..., :2] * inv_w[..., None]  # (M, F, 2)
+
+    def divide_chain(dclip_xy, dclip_w):
+        # d(xy_i) = (dclip_i - 2 xy_i dclip_3) * 0.5 / clip_3
+        return (
+            dclip_xy - 2.0 * xy[..., :, None] * dclip_w[..., None, :]
+        ) * inv_w[..., None, None]
+
+    j_xy_cam = divide_chain(
+        dclip_dcam[..., :2, :], dclip_dcam[..., 3, :]
+    )  # (M, F, 2, 6)
+    # Bundle columns: dclip/dX = Q[:, :3].
+    j_xy_bnd = (
+        q_rows[..., :2, :3]
+        - 2.0 * xy[..., :, None] * q_rows[..., 3:4, :3]
+    ) * inv_w[..., None, None]  # (M, F, 2, 3)
+    j_xy_foc = None
+    if solve_focal:
+        j_xy_foc = (
+            (dclip_df[..., :2]
+             - 2.0 * xy * dclip_df[..., 3:4]) * inv_w[..., None]
+        )  # (M, F, 2)
+
+    # Lens distortion of the reprojected point: forward AD over the
+    # LENS MATH ONLY (2 + S_l tangents of a small polynomial), with
+    # the dense path's per-component NaN fallback.
+    if lens_model_type:
+        from mayamatchmovesolver_tpu.models import base as lens_base
+        from mayamatchmovesolver_tpu.models import tde
+
+        s_idx = num_focal_slots if solve_focal else 0
+        lens_solved = jax.lax.dynamic_slice(
+            shared_params, (s_idx,), (n_lens_solved,)
+        ) if n_lens_solved else jnp.zeros((0,), dtype)
+
+        def lens_point(xy_pt, solved_vec, fbw_mm, fbh_mm, offx_mm,
+                       offy_mm):
+            values = []
+            si = 0
+            for pi, solved in enumerate(lens_solve_mask):
+                if solved:
+                    values.append(solved_vec[si])
+                    si += 1
+                else:
+                    values.append(problem.lens_params[pi])
+            model = _lens_model(lens_model_type, values)
+            fb = lens_base.FilmBack(
+                film_back_width_cm=fbw_mm * 0.1,
+                film_back_height_cm=fbh_mm * 0.1,
+                lens_center_offset_x_cm=offx_mm * 0.1,
+                lens_center_offset_y_cm=offy_mm * 0.1,
+                pixel_aspect=problem.lens_pixel_aspect,
+            )
+            return tde.distort(model, fb, xy_pt)
+
+        def undistort_point(pt, solved_vec, fbw_mm, fbh_mm, offx_mm,
+                            offy_mm):
+            values = []
+            si = 0
+            for pi, solved in enumerate(lens_solve_mask):
+                if solved:
+                    values.append(solved_vec[si])
+                    si += 1
+                else:
+                    values.append(problem.lens_params[pi])
+            model = _lens_model(lens_model_type, values)
+            fb = lens_base.FilmBack(
+                film_back_width_cm=fbw_mm * 0.1,
+                film_back_height_cm=fbh_mm * 0.1,
+                lens_center_offset_x_cm=offx_mm * 0.1,
+                lens_center_offset_y_cm=offy_mm * 0.1,
+                pixel_aspect=problem.lens_pixel_aspect,
+            )
+            return tde.undistort(model, fb, pt)
+
+        # Models whose distort direction is the ITERATIVE fixed-point
+        # inverse (ldpk convention: classic and anamorphic are native
+        # in the undistort direction).  Differentiating through the
+        # 20-iteration loop is the single hottest per-observation cost
+        # at production scale (measured ~100 ms of a 171 ms assembly
+        # at F=1024/B=2048); the implicit-function theorem gives the
+        # same Jacobian from ONE jacfwd of the loop-free undistort
+        # polynomial at the converged point:
+        #     U(mapped; theta) = xy  =>  dmapped/dxy   = G^{-1},
+        #                                dmapped/dtheta = -G^{-1} H
+        # with G = dU/dpt (2x2), H = dU/dtheta.
+        ift = lens_model_type in (
+            "tde_classic",
+            "tde_anamorphic_std_deg4",
+            "tde_anamorphic_std_deg4_rescaled",
+        )
+
+        if ift:
+            def lens_val_jac(xy_pt, fbw, fbh, ox, oy):
+                mapped = lens_point(xy_pt, lens_solved, fbw, fbh, ox,
+                                    oy)
+                g, h = jax.jacfwd(undistort_point, argnums=(0, 1))(
+                    mapped, lens_solved, fbw, fbh, ox, oy
+                )
+                det = g[0, 0] * g[1, 1] - g[0, 1] * g[1, 0]
+                inv_det = 1.0 / det
+                g_inv = jnp.array(
+                    [[g[1, 1], -g[0, 1]], [-g[1, 0], g[0, 0]]],
+                    dtype=g.dtype,
+                ) * inv_det
+                l_xy = g_inv
+                l_sh = -(g_inv @ h) if n_lens_solved else h
+                return mapped, l_xy, l_sh
+        else:
+            def lens_val_jac(xy_pt, fbw, fbh, ox, oy):
+                mapped = lens_point(xy_pt, lens_solved, fbw, fbh, ox,
+                                    oy)
+                l_xy, l_sh = jax.jacfwd(lens_point, argnums=(0, 1))(
+                    xy_pt, lens_solved, fbw, fbh, ox, oy
+                )
+                return mapped, l_xy, l_sh
+
+        intr = problem.intrinsics
+        per_frame = jax.vmap(lens_val_jac, in_axes=(0, 0, 0, 0, 0))
+        per_obs = jax.vmap(per_frame, in_axes=(0, None, None, None,
+                                               None))
+        mapped, l_xy, l_sh = per_obs(
+            xy, intr[:, 1], intr[:, 2], intr[:, 3], intr[:, 4]
+        )  # (M, F, 2), (M, F, 2, 2), (M, F, 2, S_l)
+        ok = jnp.isfinite(mapped)  # per component, like the AD path
+        pt = jnp.where(ok, mapped, xy)
+        j_pt_cam = jnp.where(
+            ok[..., None],
+            jnp.einsum("mfij,mfjk->mfik", l_xy, j_xy_cam),
+            j_xy_cam,
+        )
+        j_pt_bnd = jnp.where(
+            ok[..., None],
+            jnp.einsum("mfij,mfjk->mfik", l_xy, j_xy_bnd),
+            j_xy_bnd,
+        )
+        j_pt_lens = jnp.where(ok[..., None], l_sh, 0.0)
+        j_pt_foc = None
+        if solve_focal:
+            j_pt_foc = jnp.where(
+                ok,
+                jnp.einsum("mfij,mfj->mfi", l_xy, j_xy_foc),
+                j_xy_foc,
+            )
+    else:
+        pt = xy
+        j_pt_cam = j_xy_cam
+        j_pt_bnd = j_xy_bnd
+        j_pt_lens = jnp.zeros(
+            (num_markers, num_frames, 2, 0), dtype
+        )
+        j_pt_foc = j_xy_foc
+
+    # Residual: d = (uv - pt) * W, NaN-guarded, behind-camera x1e6,
+    # sqrt-weight (all matching _observation_residual exactly; the
+    # where-conditions are piecewise constant so AD and the chain rule
+    # agree on the masks).
+    d = (problem.marker_uv - pt) * image_width
+    fin = jnp.isfinite(d)
+    d = jnp.where(fin, d, 0.0)
+    factor = jnp.where(z_cam > 0.0, BEHIND_CAMERA_ERROR_FACTOR, 1.0)
+    scale = factor * problem.weight  # (M, F)
+    r_pre = d * scale[..., None]
+    j_scale = -(image_width * scale)[..., None, None]
+    j_cam = jnp.where(fin[..., None], j_pt_cam * j_scale, 0.0)
+    j_bnd = jnp.where(fin[..., None], j_pt_bnd * j_scale, 0.0)
+    j_lens = jnp.where(fin[..., None], j_pt_lens * j_scale, 0.0)
+    j_foc = None
+    if solve_focal:
+        j_foc = jnp.where(fin, j_pt_foc * j_scale[..., 0], 0.0)
+
+    # Robust loss rescale g(r) = r * s(r): elementwise, so its
+    # Jacobian is the diagonal alpha = dg/dr obtained from one jvp
+    # with a ones tangent.
+    if loss_type != int(loss_mod.RobustLossType.TRIVIAL):
+        r, alpha = jax.jvp(
+            lambda t: loss_mod.apply_loss_to_residuals(
+                t, loss_type, loss_scale
+            ),
+            (r_pre,), (jnp.ones_like(r_pre),),
+        )
+        j_cam = alpha[..., None] * j_cam
+        j_bnd = alpha[..., None] * j_bnd
+        j_lens = alpha[..., None] * j_lens
+        if solve_focal:
+            j_foc = alpha * j_foc
+    else:
+        r = r_pre
+
+    # Border columns: [focal slots | solved lens params].
+    if num_shared:
+        cols = []
+        if solve_focal:
+            slots = problem.mkr_cam_block // num_frames  # (M,)
+            onehot = jax.nn.one_hot(
+                slots, num_focal_slots, dtype=dtype
+            )  # (M, num_focal_slots)
+            cols.append(
+                j_foc[..., None] * onehot[:, None, None, :]
+            )
+        if n_lens_solved:
+            cols.append(j_lens)
+        j_sh = jnp.concatenate(cols, axis=-1)
+    else:
+        j_sh = jnp.zeros((num_markers, num_frames, 2, 0), dtype)
     return r, j_cam, j_bnd, j_sh
 
 

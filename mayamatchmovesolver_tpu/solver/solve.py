@@ -462,6 +462,16 @@ def _measure_jit(problem, attrs):
     return problem_mod.measure_residuals(problem, attrs)
 
 
+@jax.jit
+@_f32_matmul
+def _measure_pair_jit(problem, attrs_in, attrs_out):
+    """Initial + final deviation measurement in ONE dispatch (the BA
+    bridge otherwise pays two remote round-trips per solve)."""
+    _, aux0 = problem_mod.measure_residuals(problem, attrs_in)
+    r1, aux1 = problem_mod.measure_residuals(problem, attrs_out)
+    return aux0, r1, aux1
+
+
 def _solve_problem_ba(problem, bridge, options, solver_type,
                       has_hooks=False):
     """Run the structured Schur BA (or its sharded variant) behind the
@@ -524,8 +534,8 @@ def _solve_problem_ba(problem, bridge, options, solver_type,
         ba_result = _ba_solve_jit(bridge.problem, cfg)
 
     attrs_out = bridge.apply_result(problem.attrs, ba_result)
-    _, aux0 = _measure_jit(problem, problem.attrs)
-    r1, aux1 = _measure_jit(problem, attrs_out)
+    aux0, r1, aux1 = _measure_pair_jit(problem, problem.attrs,
+                                       attrs_out)
     it = jnp.asarray(ba_result.iterations, jnp.int32)
     nfev = jnp.asarray(ba_result.func_evals, jnp.int32)
     njev = jnp.asarray(ba_result.jacobian_evals, jnp.int32)

@@ -195,6 +195,105 @@ def test_ba_with_lens_in_residual():
     )
 
 
+def _assembly_agreement_case(with_behind_camera, loss_type):
+    num_frames, num_bundles = 6, 8
+    rng = np.random.RandomState(5)
+    cam = np.zeros((num_frames, 6))
+    cam[:, 0] = np.linspace(-1, 1, num_frames)
+    cam[:, 2] = 8.0
+    cam[:, 4] = np.linspace(-4, 4, num_frames)
+    bnd = np.stack([
+        rng.uniform(-3, 3, num_bundles),
+        rng.uniform(-2, 2, num_bundles),
+        rng.uniform(-8, -2, num_bundles),
+    ], -1)
+    if with_behind_camera:
+        bnd[0, 2] = +20.0  # exercises the x1e6 branch
+    weight = np.ones((num_bundles, num_frames))
+    weight[1, :] = 0.0  # disabled marker
+    weight[2, ::2] = 0.25
+    problem = ba.make_ba_problem(
+        marker_uv=rng.rand(num_bundles, num_frames, 2) * 0.2,
+        weight=weight,
+        mkr_bnd_index=np.arange(num_bundles),
+        cam_params=cam,
+        bnd_params=bnd,
+        solve_focal=True,
+        lens_model_type="tde_classic",
+        lens_params=dict(distortion=0.1, curvature_x=0.02),
+        lens_solve_names=["distortion"],
+        loss_type=loss_type,
+        loss_scale=20.0,
+    )
+    sh = jnp.asarray([36.0, 0.07])
+    args = (problem, problem.cam_params, problem.bnd_params, sh)
+    out_a = ba._residual_and_blocks_analytic(*args)
+    out_d = ba._residual_and_blocks_ad(*args)
+    np.testing.assert_allclose(np.asarray(out_a[0]),
+                               np.asarray(out_d[0]),
+                               rtol=1e-9, atol=1e-9)
+    for a, d in zip(out_a[1:], out_d[1:]):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(d),
+                                   rtol=1e-6, atol=1e-7)
+
+
+def test_analytic_assembly_matches_ad_oracle():
+    """The analytic chain-rule Jacobian assembly (per-frame Q
+    Jacobians + perspective/lens/loss chains) must agree with the
+    per-observation forward-AD oracle on every block tensor — lens
+    distortion, shared focal, soft-L1 loss and zero-weight markers
+    active at once."""
+    _assembly_agreement_case(with_behind_camera=False, loss_type=1)
+
+
+def test_analytic_assembly_matches_ad_behind_camera():
+    """Behind-camera x1e6 observations agree to machine precision
+    under trivial loss.  (Combining x1e6 inflation WITH a robust loss
+    puts |r| ~ 1e9 where the reference's rescale formula j_scale =
+    rho1 + 2 rho2 r^2 cancels catastrophically — BOTH assembly
+    backends produce implementation-defined derivatives there, so the
+    pathological combination is excluded from the agreement oracle.)"""
+    _assembly_agreement_case(with_behind_camera=True, loss_type=0)
+
+
+def test_analytic_assembly_matches_ad_multicamera():
+    """Multi-camera rig (camera-major blocks, per-camera focal border,
+    no lens): analytic and AD assemblies agree."""
+    num_frames, num_bundles, num_cams = 5, 6, 2
+    rng = np.random.RandomState(9)
+    cam = np.zeros((num_cams * num_frames, 6))
+    cam[:, 0] = np.linspace(-1, 1, num_cams * num_frames)
+    cam[:, 2] = 9.0
+    bnd = np.stack([
+        rng.uniform(-2, 2, num_bundles),
+        rng.uniform(-2, 2, num_bundles),
+        rng.uniform(-7, -3, num_bundles),
+    ], -1)
+    mkr_cam = (np.arange(num_bundles) % num_cams) * num_frames
+    problem = ba.make_ba_problem(
+        marker_uv=rng.rand(num_bundles, num_frames, 2) * 0.2,
+        weight=np.ones((num_bundles, num_frames)),
+        mkr_bnd_index=np.arange(num_bundles),
+        mkr_cam_index=np.arange(num_bundles) % num_cams,
+        cam_params=cam,
+        bnd_params=bnd,
+        solve_focal=True,
+    )
+    del mkr_cam
+    sh = jnp.asarray([34.0, 36.5])
+    args = (problem, problem.cam_params, problem.bnd_params, sh)
+    r_a, jc_a, jb_a, js_a = ba._residual_and_blocks_analytic(*args)
+    r_d, jc_d, jb_d, js_d = ba._residual_and_blocks_ad(*args)
+    np.testing.assert_allclose(np.asarray(r_a), np.asarray(r_d),
+                               rtol=1e-9, atol=1e-9)
+    np.testing.assert_allclose(np.asarray(jc_a), np.asarray(jc_d),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(jb_a), np.asarray(jb_d),
+                               rtol=1e-6, atol=1e-7)
+    np.testing.assert_allclose(np.asarray(js_a), np.asarray(js_d),
+                               rtol=1e-6, atol=1e-7)
+
+
 def test_ba_counted_evaluations():
     """func_evals / jacobian_evals are COUNTED in _BAState, not
     synthesized from iteration arithmetic (round-4 verdict weak #8):
