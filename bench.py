@@ -480,6 +480,87 @@ def bench_lens_focal_ba():
           rms_px=round(float(result.error_final), 5))
 
 
+def bench_production_ba(budget_left):
+    """Config #6 (round-5): production-scale Schur-CG BA — 1024
+    frames x 2048 bundles with shared focal + 3DE classic lens in the
+    arrowhead border — with FLOPs accounting against the measured
+    machine peaks (BASELINE.md round-5 roofline: this workload's
+    ceiling is the VPU, not the MXU)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mayamatchmovesolver_tpu.solver import ba
+
+    num_frames, num_bundles, cg_iterations, iters = 1024, 2048, 30, 6
+    rng = np.random.RandomState(3)
+    cam_true = np.zeros((num_frames, 6), np.float32)
+    cam_true[:, 0] = np.linspace(-4, 4, num_frames)
+    cam_true[:, 1] = 1.0
+    cam_true[:, 2] = 12.0
+    cam_true[:, 4] = np.linspace(-8, 8, num_frames)
+    bnd_true = np.stack(
+        [rng.uniform(-6, 6, num_bundles),
+         rng.uniform(-3, 3, num_bundles),
+         rng.uniform(-10, -3, num_bundles)], axis=-1
+    ).astype(np.float32)
+    true_focal, true_dist = 35.0, 0.08
+    problem0 = ba.make_ba_problem(
+        marker_uv=np.zeros((num_bundles, num_frames, 2), np.float32),
+        weight=np.ones((num_bundles, num_frames), np.float32),
+        mkr_bnd_index=np.arange(num_bundles),
+        cam_params=cam_true,
+        bnd_params=bnd_true,
+        focal_length_mm=true_focal,
+        solve_focal=True,
+        lens_model_type="tde_classic",
+        lens_params=dict(distortion=true_dist),
+        lens_solve_names=["distortion"],
+    )
+    with jax.default_device(jax.devices("cpu")[0]):
+        r = ba.ba_residuals(
+            problem0, jnp.asarray(cam_true), jnp.asarray(bnd_true),
+            jnp.asarray([true_focal, true_dist], np.float32),
+        )
+        uv = -np.asarray(r) / problem0.image_width
+    problem = problem0._replace(
+        marker_uv=jnp.asarray(uv),
+        cam_params=jnp.asarray(
+            cam_true + rng.normal(0, 0.02, cam_true.shape)
+            .astype(np.float32)),
+        bnd_params=jnp.asarray(
+            bnd_true + rng.normal(0, 0.02, bnd_true.shape)
+            .astype(np.float32)),
+        shared_params=jnp.asarray([35.5, 0.06], np.float32),
+    )
+    solve = jax.jit(
+        lambda p: ba.solve_ba(p, max_iterations=iters, eps1=0.0,
+                              eps2=0.0, eps3=0.0, linear_solver="cg",
+                              cg_iterations=cg_iterations)
+    )
+    result = solve(problem)
+    jax.block_until_ready(result.cam_params)
+    t0 = time.perf_counter()
+    result = solve(problem)
+    jax.block_until_ready(result.cam_params)
+    dt = time.perf_counter() - t0
+    its = int(result.iterations) / dt
+    flops_it = _ba_cg_flops_per_iteration(num_frames, num_bundles,
+                                          cg_iterations)
+    _emit(
+        "schur_ba_production_scale_1024f_2048b",
+        its, "iterations/s", 0.159e12 / flops_it, True,
+        baseline_kind="measured VPU-peak-bound iteration rate "
+                      "(BASELINE.md round-5 roofline; this workload's "
+                      "ceiling is elementwise, not MXU)",
+        flops_per_iteration=flops_it,
+        achieved_tflops=round(its * flops_it / 1e12, 4),
+        solved_focal=round(float(result.shared_params[0]), 3),
+        solved_distortion=round(float(result.shared_params[1]), 5),
+        cost_reduction=float(result.cost_initial) / max(
+            float(result.cost), 1e-30),
+    )
+
+
 def bench_pallas_stmap():
     """Round-3 verdict #5: run the Pallas ST-map grid kernel on the
     real TPU — parity vs the XLA oracle (64x64) and generation rate at
@@ -747,7 +828,7 @@ def main():
         os.environ.get("MMTPU_BENCH_CONFIG_COST_S", "70")
     )
     for fn in (bench_schur_ba, bench_pallas_stmap, bench_lens_focal_ba,
-               bench_triangulation):
+               bench_production_ba, bench_triangulation):
         if budget_left() < per_config_cost:
             print(json.dumps({
                 "metric": "skipped_configs",
@@ -756,7 +837,7 @@ def main():
             }), flush=True)
             break
         try:
-            if fn is bench_schur_ba:
+            if fn in (bench_schur_ba, bench_production_ba):
                 fn(budget_left)
             else:
                 fn()
