@@ -86,11 +86,11 @@ def main():
     assert len(jax.devices()) == 4 * num_processes
 
     mesh = multihost.frame_mesh()
-    problem = synthetic_ba(num_frames=8 * len(jax.devices()),
-                           num_bundles=10)
+    problem = synthetic_ba(num_frames=4 * len(jax.devices()),
+                           num_bundles=8)
     sharded = ba_sharded.shard_ba_problem(problem, mesh)
     result = ba_sharded.sharded_solve_ba(
-        sharded, mesh, max_iterations=25, cg_iterations=40
+        sharded, mesh, max_iterations=15, cg_iterations=25
     )
     cam = multihost.gather_to_primary(result.cam_params)
     assert cam.shape == problem.cam_params.shape

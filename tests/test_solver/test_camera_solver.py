@@ -17,7 +17,7 @@ from mayamatchmovesolver_tpu.core.constants import FilmFit
 from mayamatchmovesolver_tpu.scene import SceneGraph, evaluate, flatscene
 
 
-NUM_FRAMES = 30
+NUM_FRAMES = 16
 NUM_POINTS = 24
 RENDER_W, RENDER_H = 1500, 1000
 
@@ -100,7 +100,7 @@ def _run_camera_solve(tracks, fit, solve_focal=True):
     col.add_marker(*markers)
     col.set_solver(mmapi.SolverCamera(
         frame_indices=range(NUM_FRAMES), solve_focal=solve_focal,
-        refine_rounds=1, ba_iterations=30,
+        refine_rounds=1, ba_iterations=20,
     ))
     ok, messages = mmapi.validate(col)
     assert ok, messages
