@@ -686,9 +686,17 @@ def start_sharded_scaling_subprocess():
         env.get("XLA_FLAGS", "")
         + " --xla_force_host_platform_device_count=8"
     ).strip()
+    cmd = [sys.executable, os.path.abspath(__file__), "--scaling"]
+    # Pin the CPU-mesh subprocess to one core so it cannot perturb the
+    # serial TPU configs' host-side work (and so its own 1/2/4/8
+    # device timings are consistent: every mesh size runs the same
+    # single core, making flat wall-clock the ideal).
+    if os.path.exists("/usr/bin/taskset") and (os.cpu_count() or 1) > 1:
+        cmd = ["/usr/bin/taskset", "-c",
+               str(os.cpu_count() - 1)] + cmd
     try:
         return subprocess.Popen(
-            [sys.executable, os.path.abspath(__file__), "--scaling"],
+            cmd,
             stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
             cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
             env=env,

@@ -392,3 +392,10 @@ def flat_scene_from_numpy(
         mkr_attr_codes=jnp.asarray(mkr_attr_codes, dtype=jnp.int32),
         doubling_steps=doubling_steps_for_depth(max_depth),
     )
+
+
+# Jit-compiled evaluate for EAGER host callers (the bridge, tools):
+# without this every evaluate() outside a jit context dispatches each
+# primitive separately — ~300 ms per call over the remote tunnel vs
+# one fused dispatch.  (Callers inside jit keep using evaluate.)
+evaluate_jit = jax.jit(evaluate)

@@ -25,10 +25,7 @@ from typing import List, Optional, Tuple
 
 import numpy as np
 
-from mayamatchmovesolver_tpu.scene.attrblock import (
-    AttrBlock,
-    gather_attr_values,
-)
+from mayamatchmovesolver_tpu.scene.attrblock import AttrBlock
 from mayamatchmovesolver_tpu.scene import flatscene
 from mayamatchmovesolver_tpu.solver import ba as ba_mod
 
@@ -122,15 +119,29 @@ def build_ba_bridge(
     ):
         return None, "line constraints"
     num_cameras = int(scene.num_cameras)
-    cam_tfms = np.asarray(scene.cam_tfm_index)
-    tfm_parent = np.asarray(scene.tfm_parent)
+    # ONE bulk fetch of every scene table used below: each separate
+    # np.asarray() of a device-resident FlatScene leaf is a blocking
+    # tunnel round-trip (~25 ms each on the remote chip; ~10 of them
+    # made the bridge the product path's dominant cost).
+    import jax
+
+    (cam_tfms, tfm_parent, bnd_tfms, film_fits, rot_orders_all,
+     render_sizes, tfm_codes_dev, cam_attr_codes_dev, mkr_bnd_index,
+     mkr_cam_index) = (
+        np.asarray(x) for x in jax.device_get((
+            scene.cam_tfm_index, scene.tfm_parent,
+            scene.bnd_tfm_index, scene.cam_film_fit,
+            scene.tfm_rotate_order, scene.cam_render_size,
+            scene.tfm_attr_codes, scene.cam_attr_codes,
+            scene.mkr_bnd_index, scene.mkr_cam_index,
+        ))
+    )
     if np.any(tfm_parent[cam_tfms] != -1):
         return None, "camera is not a root transform"
-    bnd_tfms = np.asarray(scene.bnd_tfm_index)
+
     if np.any(tfm_parent[bnd_tfms] != -1):
         return None, "parented bundles"
-    film_fits = np.asarray(scene.cam_film_fit)
-    rot_orders = np.asarray(scene.tfm_rotate_order)[cam_tfms]
+    rot_orders = rot_orders_all[cam_tfms]
     if num_cameras > 1:
         # Multi-camera rigs (stereo / witness cams): camera blocks are
         # laid out camera-major; the static film-fit/rotate-order pair
@@ -138,26 +149,38 @@ def build_ba_bridge(
         if not (np.all(film_fits == film_fits[0])
                 and np.all(rot_orders == rot_orders[0])):
             return None, "cameras differ in film fit / rotate order"
-        sizes = np.asarray(scene.cam_render_size)
+        sizes = render_sizes
         if not np.allclose(sizes, sizes[0]):
             return None, "cameras differ in render size"
 
     frame_indices = np.asarray(frame_indices, dtype=np.int32)
     num_frames = len(frame_indices)
-    tfm_codes = np.asarray(scene.tfm_attr_codes)
+    tfm_codes = tfm_codes_dev
     pose_code_table = tfm_codes[cam_tfms][:, :6]  # (C, 6)
-    cam_attr_code_table = np.asarray(scene.cam_attr_codes)  # (C, 8)
+    cam_attr_code_table = cam_attr_codes_dev  # (C, 8)
     focal_codes = cam_attr_code_table[:, 2]
     bnd_code_table = tfm_codes[bnd_tfms][:, :3]  # (B, 3)
+
+    # Attribute tables ride the same bulk-fetch rule.
+    anim, static = jax.device_get(
+        (attrs.anim_values, attrs.static_values)
+    )
+    anim = np.asarray(anim)
+    static = np.asarray(static)
+
+    def cell(code, frames):
+        code = int(code)
+        if code < 0:
+            return np.zeros(len(frames))
+        if code % 2 == 1:
+            return anim[code // 2, frames]
+        return np.full(len(frames), static[code // 2])
 
     # Camera scale must be identity: the BA residual models cameras as
     # pure rigid transforms.
     for ci in range(num_cameras):
         sc_codes = tfm_codes[cam_tfms[ci], 6:9]
-        sc = np.asarray(gather_attr_values(
-            attrs, scene.tfm_attr_codes[cam_tfms[ci], 6:9],
-            frame_indices,
-        ))
+        sc = np.stack([cell(c, frame_indices) for c in sc_codes])
         sc = np.where((sc_codes < 0)[:, None], 1.0, sc)
         if not np.allclose(sc, 1.0):
             return None, "camera has non-unit scale"
@@ -248,27 +271,20 @@ def build_ba_bridge(
     # ---- Extract the BAProblem arrays. --------------------------------
     import jax.numpy as jnp
 
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
-    marker_uv = np.asarray(ev.marker_xy)
-    weight = np.asarray(ev.marker_weight) * (
-        np.asarray(ev.marker_enable) > 0.5
+    ev = flatscene.evaluate_jit(scene, attrs,
+                                jnp.asarray(frame_indices))
+    marker_xy, marker_weight, marker_enable = jax.device_get(
+        (ev.marker_xy, ev.marker_weight, ev.marker_enable)
+    )
+    marker_uv = np.asarray(marker_xy)
+    weight = np.asarray(marker_weight) * (
+        np.asarray(marker_enable) > 0.5
     )
     if marker_frame_mask is not None:
         weight = weight * np.asarray(marker_frame_mask, dtype=float)
 
-    anim = np.asarray(attrs.anim_values)
-    static = np.asarray(attrs.static_values)
-
-    def cell(code, frames):
-        code = int(code)
-        if code < 0:
-            return np.zeros(len(frames))
-        if code % 2 == 1:
-            return anim[code // 2, frames]
-        return np.full(len(frames), static[code // 2])
-
     # Camera-major pose + intrinsics blocks: (C*F, 6) / (C*F, 8).
-    render_w, render_h = np.asarray(scene.cam_render_size[0])
+    render_w, render_h = render_sizes[0]
     cam_blocks = []
     intr_blocks = []
     for ci in range(num_cameras):
@@ -324,10 +340,10 @@ def build_ba_bridge(
     problem = ba_mod.make_ba_problem(
         marker_uv=marker_uv.astype(dtype),
         weight=weight.astype(dtype),
-        mkr_bnd_index=np.asarray(scene.mkr_bnd_index),
+        mkr_bnd_index=mkr_bnd_index,
         cam_params=cam_params.astype(dtype),
         bnd_params=bnd_params.astype(dtype),
-        mkr_cam_index=np.asarray(scene.mkr_cam_index),
+        mkr_cam_index=mkr_cam_index,
         focal_length_mm=float(intrinsics[0, 0]),
         film_fit=int(film_fits[0]),
         rotate_order=int(rot_orders[0]),

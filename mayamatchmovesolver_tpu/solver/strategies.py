@@ -180,10 +180,13 @@ class SolverStandard(SolverBase):
         self.root_frame_strategy = root_frame_strategy
 
     def _auto_root_frames(self, scene, attrs):
-        from mayamatchmovesolver_tpu.scene import evaluate
+        from mayamatchmovesolver_tpu.scene.flatscene import (
+            evaluate_jit,
+        )
         import jax.numpy as jnp
 
-        ev = evaluate(scene, attrs, jnp.asarray(self.frame_indices))
+        ev = evaluate_jit(scene, attrs,
+                          jnp.asarray(self.frame_indices))
         roots = rootframe_mod.get_root_frames_from_markers(
             np.asarray(ev.marker_enable), self.frame_indices
         )
@@ -395,7 +398,7 @@ class SolverCamera(SolverBase):
         options = options or SolverOptions()
         ci = self.camera_index
         frames = np.asarray(self.frame_indices, dtype=np.int32)
-        ev = flatscene.evaluate(scene, attrs, jnp.asarray(frames))
+        ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frames))
 
         sel = np.asarray(scene.mkr_cam_index) == ci  # (M,) this camera
         if marker_mask is not None:

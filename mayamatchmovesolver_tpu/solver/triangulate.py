@@ -24,7 +24,7 @@ def triangulate_markers(scene, attrs, frame_indices):
     Returns ((M, 3) positions, (M,) condition ok mask).
     """
     frame_indices = jnp.asarray(frame_indices, dtype=jnp.int32)
-    ev = flatscene.evaluate(scene, attrs, frame_indices)
+    ev = flatscene.evaluate_jit(scene, attrs, frame_indices)
 
     view_proj = jnp.einsum(
         "cfij,cfjk->cfik", ev.cam_proj, ev.cam_world_inv

@@ -85,7 +85,7 @@ def center_offsets(scene, attrs, frame_indices, target_world,
     """
     from mayamatchmovesolver_tpu.tools import screenspace
 
-    ev = flatscene.evaluate(scene, attrs, frame_indices)
+    ev = flatscene.evaluate_jit(scene, attrs, frame_indices)
     screen_xy, _ = screenspace.world_to_screen(
         ev, jnp.asarray(target_world), cam_index=cam_index
     )

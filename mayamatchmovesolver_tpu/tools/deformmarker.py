@@ -27,7 +27,7 @@ def deform_markers(scene, attrs, scene_lens, frame_indices,
     if direction not in ("distort", "undistort"):
         raise ValueError("direction must be distort|undistort")
     frame_indices = jnp.asarray(frame_indices)
-    ev = flatscene.evaluate(scene, attrs, frame_indices)
+    ev = flatscene.evaluate_jit(scene, attrs, frame_indices)
     mapped = scenelens.apply_scene_lens(
         scene_lens, scene, attrs, frame_indices, ev.marker_xy,
         scene.mkr_cam_index, direction=direction,

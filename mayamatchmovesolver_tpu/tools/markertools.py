@@ -115,7 +115,7 @@ def marker_from_transform(scene, attrs, frame_indices, tfm_index,
     behind_camera (F,) bool)."""
     from mayamatchmovesolver_tpu.tools import screenspace
 
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frame_indices))
     points = ev.tfm_world[tfm_index, :, :3, 3]
     xy, depth = screenspace.world_to_screen(ev, points,
                                             cam_index=cam_index)
@@ -130,7 +130,7 @@ def reproject_bundle(scene, attrs, frame_indices, marker_index,
     (3,) world position."""
     from mayamatchmovesolver_tpu.tools import screenspace
 
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frame_indices))
     cam_index = int(scene.mkr_cam_index[marker_index])
     bnd_index = int(scene.mkr_bnd_index[marker_index])
     bnd_world = ev.bnd_world_point[bnd_index]  # (F, 3)

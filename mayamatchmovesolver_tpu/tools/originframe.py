@@ -32,7 +32,7 @@ def set_camera_origin_frame(sg, camera, origin_frame_index=0,
 
     scene, attrs = sg.bake()
     frames = np.arange(sg.num_frames)
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frames))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frames))
     cam_world = np.asarray(ev.tfm_world[camera.index])  # (F, 4, 4)
     origin = cam_world[int(origin_frame_index)].copy()
     # Remove scale from the origin pose (rigid re-base only).

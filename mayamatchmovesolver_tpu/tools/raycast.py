@@ -23,7 +23,7 @@ from mayamatchmovesolver_tpu.utils import raytrace
 def marker_rays(scene, attrs, frame_indices, marker_indices=None):
     """Camera rays through markers: returns (origins (M, F, 3),
     directions (M, F, 3) unit vectors)."""
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frame_indices))
     if marker_indices is None:
         marker_indices = np.arange(scene.num_markers)
     marker_indices = np.asarray(marker_indices)

@@ -68,7 +68,7 @@ def reparent(sg, node, new_parent, frame_indices=None):
     if frame_indices is None:
         frame_indices = np.arange(sg.num_frames)
     frame_indices = np.asarray(frame_indices)
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frame_indices))
     child_world = ev.tfm_world[node.index]
     parent_world = (
         None if new_parent is None else ev.tfm_world[new_parent.index]
@@ -99,7 +99,7 @@ def bake_world_trs(scene, attrs, frame_indices, tfm_index,
                    rotate_order=RotateOrder.XYZ):
     """A transform's world motion as TRS curves (the 'controller' of
     createcontroller2: a world-space duplicate of the node's motion)."""
-    ev = flatscene.evaluate(scene, attrs, jnp.asarray(frame_indices))
+    ev = flatscene.evaluate_jit(scene, attrs, jnp.asarray(frame_indices))
     return local_trs_under_parent(
         ev.tfm_world[tfm_index], None, rotate_order=rotate_order
     )

@@ -85,7 +85,7 @@ def motion_trail(scene, attrs, frame_indices, tfm_index, cam_index=0):
     screen positions.)  tfm_index: index into the baked transform list.
     Returns (screen_xy (F, 2), depth (F,)).
     """
-    ev = flatscene.evaluate(scene, attrs, frame_indices)
+    ev = flatscene.evaluate_jit(scene, attrs, frame_indices)
     points = ev.tfm_world[tfm_index, :, :3, 3]  # (F, 3)
     return world_to_screen(ev, points, cam_index=cam_index)
 
@@ -112,7 +112,7 @@ def screen_space_rig_unbake(scene, attrs, frame_indices, screen_x,
                             screen_y, depth, cam_index=0):
     """Inverse bake: screen channels -> world positions per frame
     (ref: screenspacerigbake's 'remove rig' restores world motion)."""
-    ev = flatscene.evaluate(scene, attrs, frame_indices)
+    ev = flatscene.evaluate_jit(scene, attrs, frame_indices)
     screen_xy = jnp.stack(
         [jnp.asarray(screen_x), jnp.asarray(screen_y)], axis=-1
     )
