@@ -174,7 +174,9 @@ def _observation_residual(cam_vec, bnd_vec, shared_vec, intr, weight,
     tx, ty, tz, rx, ry, rz = cam_vec[:6]
     s_idx = 0
     if solve_focal:
-        focal = shared_vec[focal_slot]
+        # jnp view: problem leaves are host numpy arrays, and a numpy
+        # array cannot be indexed by the vmap tracer focal_slot.
+        focal = jnp.asarray(shared_vec)[focal_slot]
         s_idx = num_focal_slots
     else:
         focal = intr[0]
@@ -378,7 +380,7 @@ def _frame_q_system(problem: BAProblem, cam_params, shared_params):
     num_blocks = cam_params.shape[0]
     if solve_focal:
         cam_index = jnp.arange(num_blocks) // num_frames
-        focal_vec = shared_params[cam_index]
+        focal_vec = jnp.asarray(shared_params)[cam_index]
     else:
         focal_vec = intr[:, 0]
 

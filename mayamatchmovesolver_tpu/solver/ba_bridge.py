@@ -50,19 +50,26 @@ class BABridge:
         """Scatter the BA solution back into a fresh AttrBlock
         (the BA path's setParameters counterpart,
         ref: adjust_setParameters.cpp:174-250)."""
+        import jax
         import jax.numpy as jnp
 
-        anim = np.array(attrs.anim_values)
-        static = np.array(attrs.static_values)
+        # One bulk fetch (each separate conversion would be its own
+        # blocking round-trip on a remote device).
+        anim, static, cam_all, bnd, shared = jax.device_get((
+            attrs.anim_values, attrs.static_values,
+            result.cam_params, result.bnd_params,
+            result.shared_params,
+        ))
+        anim = np.array(anim)
+        static = np.array(static)
+        cam_all = np.asarray(cam_all)
         num_frames = len(self.frame_indices)
-        cam_all = np.asarray(result.cam_params)
         for ci in range(self.pose_codes.shape[0]):
             cam = cam_all[ci * num_frames: (ci + 1) * num_frames]
             for i, code in enumerate(self.pose_codes[ci]):
                 anim[code // 2, self.frame_indices] = cam[:, i]
-        bnd = np.asarray(result.bnd_params)
-        static[self.bnd_codes // 2] = bnd
-        shared = np.asarray(result.shared_params)
+        static[self.bnd_codes // 2] = np.asarray(bnd)
+        shared = np.asarray(shared)
         si = 0
         if self.focal_codes is not None:
             for code in self.focal_codes:
