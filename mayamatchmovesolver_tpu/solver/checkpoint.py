@@ -98,7 +98,12 @@ def load_lm_state(file_path):
         fields = {
             f: jnp.asarray(data["lm_" + f])
             for f in lm_mod.LMState._fields
+            if "lm_" + f in data
         }
+        # Fields added after a checkpoint was written (e.g. the
+        # round-5 evaluation counters) default to zero.
+        for f in lm_mod.LMState._fields:
+            fields.setdefault(f, jnp.asarray(0, jnp.int32))
         metadata = json.loads(str(data["metadata"]))
     return lm_mod.LMState(**fields), metadata
 
@@ -124,6 +129,9 @@ def load_ba_state(file_path):
         fields = {
             f: jnp.asarray(data["ba_" + f])
             for f in ba_mod.BAState._fields
+            if "ba_" + f in data
         }
+        for f in ba_mod.BAState._fields:
+            fields.setdefault(f, jnp.asarray(0, jnp.int32))
         metadata = json.loads(str(data["metadata"]))
     return ba_mod.BAState(**fields), metadata

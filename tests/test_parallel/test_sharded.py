@@ -235,3 +235,8 @@ def test_sharded_lm_static_params():
     np.testing.assert_allclose(
         float(state.params[0]), 0.5, atol=1e-5
     )
+    # Counted (not derived) evaluations: the restructured loop does
+    # exactly ONE sharded normal-system evaluation per iteration plus
+    # the initial one (round-4 verdict weak #8).
+    assert int(state.nfev) == int(state.it) + 1
+    assert int(state.njev) == int(state.it) + 1
